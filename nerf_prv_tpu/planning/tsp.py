@@ -1,0 +1,217 @@
+"""Open-loop TSP global path planner.
+
+Replaces the reference's Gurobi MIP with lazy subtour elimination
+(``main.cpp:288-594``): the open-path structure (start view pinned, free end)
+is modeled the same way — a zero-cost dummy node joined to every view and
+forced adjacent to the start — but solved with
+
+- exact Held–Karp dynamic programming for n <= ``EXACT_MAX`` nodes, and
+- nearest-neighbor + 2-opt + Or-opt local search beyond that,
+
+which matches Gurobi's optimum on the small instances the pipeline actually
+solves per NBV iteration and stays within a couple percent on the 100-view
+precompute, with no external solver dependency.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+EXACT_MAX = 13
+
+
+def _held_karp_path(dist: np.ndarray, start: int, end: Optional[int] = None) -> List[int]:
+    """Exact shortest Hamiltonian path from ``start`` (to ``end`` if given)."""
+    n = len(dist)
+    others = [i for i in range(n) if i != start]
+    m = len(others)
+    if m == 0:
+        return [start]
+    full = 1 << m
+    dp = np.full((full, m), np.inf)
+    parent = np.full((full, m), -1, dtype=np.int64)
+    for j, node in enumerate(others):
+        dp[1 << j, j] = dist[start, node]
+    for mask in range(full):
+        active = dp[mask]
+        if not np.isfinite(active).any():
+            continue
+        for j in range(m):
+            if not (mask >> j) & 1 or not np.isfinite(dp[mask, j]):
+                continue
+            base = dp[mask, j]
+            for k in range(m):
+                if (mask >> k) & 1:
+                    continue
+                nmask = mask | (1 << k)
+                cand = base + dist[others[j], others[k]]
+                if cand < dp[nmask, k]:
+                    dp[nmask, k] = cand
+                    parent[nmask, k] = j
+    final = full - 1
+    if end is None:
+        j = int(np.argmin(dp[final]))
+    else:
+        j = others.index(end)
+    order = [others[j]]
+    mask = final
+    while parent[mask, j] >= 0:
+        pj = parent[mask, j]
+        mask ^= 1 << j
+        j = pj
+        order.append(others[j])
+    order.append(start)
+    order.reverse()
+    return order
+
+
+def _path_cost(dist: np.ndarray, order: Sequence[int]) -> float:
+    idx = np.asarray(order)
+    return float(dist[idx[:-1], idx[1:]].sum())
+
+
+def _nearest_neighbor(dist: np.ndarray, start: int) -> List[int]:
+    n = len(dist)
+    seen = np.zeros(n, dtype=bool)
+    seen[start] = True
+    order = [start]
+    cur = start
+    for _ in range(n - 1):
+        d = np.where(seen, np.inf, dist[cur])
+        cur = int(np.argmin(d))
+        seen[cur] = True
+        order.append(cur)
+    return order
+
+
+def _two_opt(dist: np.ndarray, order: List[int], fixed_end: bool) -> List[int]:
+    """2-opt + Or-opt (segment move, lengths 1-3) until no improvement.
+
+    Position 0 (start) is immovable; the last position too when ``fixed_end``.
+    """
+    order = list(order)
+    n = len(order)
+    hi = n - 1 if fixed_end else n
+    improved = True
+    while improved:
+        improved = False
+        # 2-opt: reverse order[i:j+1]
+        for i in range(1, hi - 1):
+            a = order[i - 1]
+            for j in range(i + 1, hi):
+                b = order[j]
+                after = order[j + 1] if j + 1 < n else None
+                old = dist[a, order[i]] + (dist[b, after] if after is not None else 0.0)
+                new = dist[a, b] + (dist[order[i], after] if after is not None else 0.0)
+                if new + 1e-12 < old:
+                    order[i : j + 1] = order[i : j + 1][::-1]
+                    improved = True
+        # Or-opt: move short segments elsewhere
+        for seg in (1, 2, 3):
+            i = 1
+            while i + seg <= hi:
+                chunk = order[i : i + seg]
+                prev = order[i - 1]
+                nxt = order[i + seg] if i + seg < n else None
+                removal = (
+                    dist[prev, chunk[0]]
+                    + (dist[chunk[-1], nxt] if nxt is not None else 0.0)
+                    - (dist[prev, nxt] if nxt is not None else 0.0)
+                )
+                rest = order[:i] + order[i + seg :]
+                best_gain, best_pos = 0.0, None
+                limit = len(rest) - 1 if fixed_end else len(rest)
+                for pos in range(1, limit):
+                    a, b = rest[pos - 1], rest[pos]
+                    add = dist[a, chunk[0]] + dist[chunk[-1], b] - dist[a, b]
+                    gain = removal - add
+                    if gain > best_gain + 1e-12:
+                        best_gain, best_pos = gain, pos
+                if best_pos is not None:
+                    order = rest[:best_pos] + chunk + rest[best_pos:]
+                    improved = True
+                else:
+                    i += 1
+    return order
+
+
+def solve_open_tsp(
+    dist: np.ndarray, start: int, end: Optional[int] = None, exact_max: int = EXACT_MAX
+) -> List[int]:
+    """Visit order over all nodes, ``start`` first (≙ Global_Path_Planner
+    ``solve`` + ``get_path_id_set``, ``main.cpp:511-593``)."""
+    dist = np.asarray(dist, dtype=np.float64)
+    n = len(dist)
+    if n <= 1:
+        return list(range(n))
+    if n <= exact_max:
+        return _held_karp_path(dist, start, end)
+    order = _nearest_neighbor(dist, start)
+    if end is not None:
+        order.remove(end)
+        order.append(end)
+    return _two_opt(dist, order, fixed_end=end is not None)
+
+
+class GlobalPathPlanner:
+    """Drop-in equivalent of the reference's ``Global_Path_Planner``
+    (``main.cpp:398-594``): plans over a subset of a view space with edge
+    weights from the batched local-path kernel."""
+
+    def __init__(
+        self,
+        views: np.ndarray,
+        view_subset: Sequence[int],
+        object_center: np.ndarray,
+        predicted_size: float,
+        start_view_id: int,
+        end_view_id: Optional[int] = None,
+    ):
+        from .local_path import pairwise_lengths
+
+        self.view_subset = list(view_subset)
+        pts = np.asarray(views)[self.view_subset]
+        center = np.asarray(object_center, dtype=np.float64) + 1e-10  # ≙ main.cpp:447
+        self.dist = np.array(pairwise_lengths(pts, center, float(predicted_size)))
+        np.fill_diagonal(self.dist, 0.0)
+        self._start_local = self.view_subset.index(start_view_id)
+        self._end_local = (
+            self.view_subset.index(end_view_id) if end_view_id is not None else None
+        )
+        self.order_local: Optional[List[int]] = None
+
+    def solve(self) -> float:
+        self.order_local = solve_open_tsp(self.dist, self._start_local, self._end_local)
+        return _path_cost(self.dist, self.order_local)
+
+    def get_path_id_set(self) -> List[int]:
+        if self.order_local is None:
+            self.solve()
+        return [self.view_subset[i] for i in self.order_local]
+
+
+def precompute_paths(viewspace_dir: str, sizes=range(3, 101)) -> None:
+    """Mode-20 equivalent: write ``N_path.txt`` for every view space.
+
+    Obstacle: sphere of radius 0.5x the view-space radius at the origin —
+    the constant the reference's own trajectory visualization uses
+    (``main.cpp:3796``, 0.15 m object at 0.3 m view radius).
+    """
+    from ..viewspace.hemisphere import load_view_space, save_path_order
+
+    for n in sizes:
+        views = load_view_space(viewspace_dir, n)
+        start = int(
+            np.argmin(np.linalg.norm(views - np.array([0.0, 0.0, 1.0]), axis=1))
+        )
+        planner = GlobalPathPlanner(
+            views,
+            list(range(n)),
+            object_center=np.zeros(3),
+            predicted_size=0.5 * float(np.linalg.norm(views[0])),
+            start_view_id=start,
+        )
+        planner.solve()
+        save_path_order(viewspace_dir, np.asarray(planner.get_path_id_set()))
