@@ -1,0 +1,139 @@
+"""High-level NeRF API mirroring the reference's ``run.py`` semantics.
+
+The reference shells out to instant-ngp through a generated script + ready
+files (``train_by_instantNGP``, ``main.cpp:1658-1715``); here the same three
+operations are in-process function calls:
+
+- :func:`train_nerf`        — ``--train --scene ... --n_steps ...``
+- :func:`eval_nerf`         — ``--test_transforms ... --save_metrics ...``
+- :func:`screenshot_nerf`   — ``--screenshot_transforms ... --screenshot_dir``
+- :func:`run`               — the full CLI-equivalent driver.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import evaluate_pair, mse2psnr
+from .model import NerfConfig
+from .rays import RayDataset, load_dataset
+from .render import render_image
+from .train import train
+
+
+def train_nerf(
+    scene_json: str, cfg: Optional[NerfConfig] = None, seed: int = 0
+) -> Tuple[dict, RayDataset]:
+    cfg = cfg or NerfConfig()
+    dataset = load_dataset(scene_json, with_images=True)
+    params, _ = train(dataset, cfg, seed=seed)
+    return params, dataset
+
+
+def eval_nerf(
+    params, test_json: str, cfg: Optional[NerfConfig] = None
+) -> Dict[str, float]:
+    """PSNR/SSIM against the test set (≙ run.py:213-277: per-image PSNR
+    averaged, black background, sRGB-clipped)."""
+    cfg = cfg or NerfConfig()
+    ds = load_dataset(test_json, with_images=True)
+    tot_psnr, tot_ssim, tot_mse, n = 0.0, 0.0, 0.0, 0
+    minpsnr, maxpsnr = float("inf"), -float("inf")
+    for i in range(ds.n_frames):
+        img = render_image(
+            params, jnp.asarray(ds.origins[i]), jnp.asarray(ds.rotations[i]), ds.camera, cfg
+        )
+        pred = img[..., :3]
+        gt = ds.pixels[i]
+        gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
+        p, s, m = evaluate_pair(pred, gt_rgb)
+        p, s, m = float(p), float(s), float(m)
+        tot_psnr += p
+        tot_ssim += s
+        tot_mse += m
+        minpsnr = min(minpsnr, p)
+        maxpsnr = max(maxpsnr, p)
+        n += 1
+    return {
+        "PSNR": tot_psnr / max(n, 1),
+        "SSIM": tot_ssim / max(n, 1),
+        "PSNR_avgmse": float(mse2psnr(tot_mse / max(n, 1))),
+        "min_PSNR": minpsnr,
+        "max_PSNR": maxpsnr,
+    }
+
+
+def save_metrics(path: str, metrics: Dict[str, float]) -> None:
+    """``PSNR\\t<v>\\nSSIM\\t<v>`` file (≙ run.py:274-277)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"PSNR\t{metrics['PSNR']}\n")
+        f.write(f"SSIM\t{metrics['SSIM']}")
+
+
+def load_metrics(path: str) -> Dict[str, float]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 2:
+                out[parts[0]] = float(parts[1])
+    return out
+
+
+def screenshot_nerf(
+    params, render_json: str, out_dir: str, cfg: Optional[NerfConfig] = None
+) -> None:
+    """Render every frame of ``render_json`` to ``out_dir/<basename>.png``
+    as RGBA (alpha = accumulated density) (≙ run.py:284-309)."""
+    from PIL import Image
+
+    cfg = cfg or NerfConfig()
+    ds = load_dataset(render_json, with_images=False)
+    from ..core.transforms import load_transforms
+
+    tf = load_transforms(render_json)
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(ds.n_frames):
+        img = render_image(
+            params, jnp.asarray(ds.origins[i]), jnp.asarray(ds.rotations[i]), ds.camera, cfg
+        )
+        rgba = np.asarray(
+            jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+        )
+        name = os.path.basename(tf.file_paths[i])
+        if not os.path.splitext(name)[1]:
+            name += ".png"
+        Image.fromarray(rgba, "RGBA").save(os.path.join(out_dir, name))
+
+
+def run(
+    scene: str,
+    n_steps: Optional[int] = None,
+    test_transforms: Optional[str] = None,
+    save_metrics_path: Optional[str] = None,
+    screenshot_transforms: Optional[str] = None,
+    screenshot_dir: Optional[str] = None,
+    cfg: Optional[NerfConfig] = None,
+    seed: int = 0,
+) -> Optional[Dict[str, float]]:
+    """In-process equivalent of one ``run.py`` invocation
+    (≙ the command line assembled at main.cpp:1665-1688)."""
+    import dataclasses
+
+    cfg = cfg or NerfConfig()
+    if n_steps is not None:
+        cfg = dataclasses.replace(cfg, n_steps=n_steps)
+    params, _ = train_nerf(scene, cfg, seed=seed)
+    metrics = None
+    if test_transforms:
+        metrics = eval_nerf(params, test_transforms, cfg)
+        if save_metrics_path:
+            save_metrics(save_metrics_path, metrics)
+    if screenshot_transforms and screenshot_dir:
+        screenshot_nerf(params, screenshot_transforms, screenshot_dir, cfg)
+    return metrics

