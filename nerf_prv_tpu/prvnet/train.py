@@ -1,0 +1,212 @@
+"""PRVNet training: AdamW + L1 on sigmoid-rescaled budgets, dp-sharded.
+
+≙ ``train_regression.py:248-695``: AdamW with base lr 1.5e-4 scaled by
+batch/256, weight decay skipped for biases/norms (the reference's
+``add_weight_decay``), L1 (or MSE) between the [13,58]-rescaled sigmoid
+prediction and the label, per-epoch validation reporting exact-match accuracy
+and L1 distance ± std, best checkpoint kept.  torch DataParallel
+(``train_regression.py:636``) becomes a ``dp`` mesh: the batch axis is
+sharded over every device and XLA all-reduces the grads over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple, replicated
+from .data import PVBDataset
+from .model import PVBNet, logits_to_budget, make_pvbnet
+
+
+@dataclass
+class TrainConfig:
+    arch: str = "convnextv2_tiny"
+    batch_size: int = 64
+    blr: float = 1.5e-4
+    weight_decay: float = 0.05
+    epochs: int = 800
+    loss_type: str = "L1"       # ≙ --loss_type L1 default path
+    min_label: int = 13
+    max_label: int = 58
+    seed: int = 0
+    image_size: int = 720
+
+    @property
+    def lr(self) -> float:
+        return self.blr * self.batch_size / 256.0  # ≙ train_regression.py:607
+
+
+def _wd_mask(params):
+    """No weight decay on biases and 1-d params (≙ add_weight_decay)."""
+
+    def mask(p):
+        return jax.tree.map(lambda x: x.ndim > 1, p)
+
+    return mask(params)
+
+
+def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+    return optax.adamw(
+        cfg.lr,
+        b1=0.9,
+        b2=0.999,
+        weight_decay=cfg.weight_decay,
+        mask=_wd_mask(params),
+    )
+
+
+def init_model(cfg: TrainConfig, n_views: int, image_size: Optional[int] = None):
+    model = make_pvbnet(cfg.arch)
+    size = image_size or cfg.image_size
+    dummy = jnp.zeros((1, n_views, size, size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(cfg.seed), dummy)["params"]
+    return model, params
+
+
+def loss_fn(model: PVBNet, params, views, labels, cfg: TrainConfig):
+    logits = model.apply({"params": params}, views)
+    pred = logits_to_budget(logits, cfg.min_label, cfg.max_label)
+    if cfg.loss_type == "MSE":
+        return jnp.mean((pred - labels) ** 2)
+    return jnp.mean(jnp.abs(pred - labels))
+
+
+def make_train_step(model: PVBNet, cfg: TrainConfig, optimizer, mesh):
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(rep, rep, bs, bs),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, views, labels):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, views, labels, cfg)
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_eval_step(model: PVBNet, cfg: TrainConfig, mesh):
+    bs = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    @partial(jax.jit, in_shardings=(rep, bs), out_shardings=bs)
+    def predict(params, views):
+        logits = model.apply({"params": params}, views)
+        return logits_to_budget(logits, cfg.min_label, cfg.max_label)
+
+    return predict
+
+
+def check_accuracy(
+    predict, params, dataset: PVBDataset, cfg: TrainConfig, mesh
+) -> Dict[str, float]:
+    """≙ check_accuracy (train_regression.py:340-432): exact rounded-match
+    accuracy plus L1 distance mean ± std."""
+    n_dev = mesh.devices.size
+    dists, correct, total = [], 0, 0
+    for views, labels in dataset.batches(cfg.batch_size):
+        views, n_real = pad_to_multiple(views, n_dev)
+        pred = np.asarray(predict(params, views))[:n_real]
+        rounded = np.round(pred)
+        correct += int((rounded == labels).sum())
+        total += len(labels)
+        dists.extend(np.abs(pred - labels).tolist())
+    dists = np.asarray(dists) if dists else np.zeros(1)
+    return {
+        "accuracy": correct / max(total, 1),
+        "l1_mean": float(dists.mean()),
+        "l1_std": float(dists.std()),
+    }
+
+
+def save_checkpoint(path: str, params, meta: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    blob = serialization.msgpack_serialize(
+        {
+            "params": jax.tree.map(np.asarray, params),
+            "meta": meta or {},
+        }
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_checkpoint(path: str):
+    with open(path, "rb") as f:
+        obj = serialization.msgpack_restore(f.read())
+    return obj["params"], obj.get("meta", {})
+
+
+def train_regression(
+    dataset_root: str,
+    train_split: str,
+    val_split: str,
+    cfg: Optional[TrainConfig] = None,
+    pattern=None,
+    checkpoint_dir: str = "checkpoints",
+    log_every: int = 10,
+    mesh=None,
+) -> Tuple[dict, Dict[str, float]]:
+    """Full trainer (≙ main(), train_regression.py:478-683).
+
+    Returns (best params, best val metrics).  ``checkpoint_dir`` receives
+    ``best_checkpoint.msgpack`` plus periodic epoch checkpoints; an existing
+    best checkpoint is auto-resumed (≙ --auto_resume).
+    """
+    from .model import IMG_PATTERN
+
+    cfg = cfg or TrainConfig()
+    pattern = pattern if pattern is not None else IMG_PATTERN[4]
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    train_ds = PVBDataset(dataset_root, train_split, pattern, crop=cfg.image_size)
+    val_ds = PVBDataset(dataset_root, val_split, pattern, crop=cfg.image_size)
+
+    model, params = init_model(cfg, len(pattern))
+    best_path = os.path.join(checkpoint_dir, "best_checkpoint.msgpack")
+    best = {"accuracy": -1.0, "l1_mean": float("inf")}
+    if os.path.exists(best_path):  # auto-resume (≙ utils.auto_load_model)
+        params, meta = load_checkpoint(best_path)
+        best = meta.get("val", best)
+
+    optimizer = make_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, cfg, optimizer, mesh)
+    predict = make_eval_step(model, cfg, mesh)
+
+    rng = np.random.default_rng(cfg.seed)
+    for epoch in range(cfg.epochs):
+        losses = []
+        for views, labels in train_ds.batches(cfg.batch_size, rng=rng):
+            views, n_real = pad_to_multiple(views, n_dev)
+            labels, _ = pad_to_multiple(labels, n_dev)
+            params, opt_state, loss = step(params, opt_state, views, labels)
+            losses.append(float(loss))
+        metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
+        if epoch % log_every == 0 or epoch == cfg.epochs - 1:
+            print(
+                f"epoch {epoch}: loss {np.mean(losses):.4f} "
+                f"val acc {metrics['accuracy']:.3f} "
+                f"l1 {metrics['l1_mean']:.3f}±{metrics['l1_std']:.3f}"
+            )
+        if metrics["l1_mean"] < best.get("l1_mean", float("inf")):
+            best = metrics
+            save_checkpoint(best_path, params, {"val": metrics, "epoch": epoch})
+    return params, best
