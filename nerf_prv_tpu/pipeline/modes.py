@@ -1,0 +1,243 @@
+"""Mode dispatcher — the reference's 12-mode console loop as functions.
+
+≙ ``main()`` (``main.cpp:2294-4007``).  Mode numbers match:
+
+====  ==================  ==========================================
+ 0    ViewCover           hemisphere view-space generation
+ 1    ViewNovel           novel train/test view sampling + rendering
+ 2    GetSizeTest         ShapeNet size augmentation
+ 3    GetCoverage         coverage images for v=3..50 step 2 and 100
+ 4    InstantNGP          per-view-count NeRF train + eval
+ 5    ReadLabel           label statistics
+ 6    GetDataset          PRVNet dataset assembly
+ 7    TestObjects         statistics comparison
+10    ShapeNetPreProcess  sampled-PLY rewrite
+11    GetCleanData        size-window filter
+20    GetPathPlan         TSP path precompute
+21    ViewPlanning        the flagship NBV experiment
+====  ==================  ==========================================
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.config import Config
+from ..nerf.model import NerfConfig
+
+MODE_NAMES = {
+    0: "ViewCover",
+    1: "ViewNovel",
+    2: "GetSizeTest",
+    3: "GetCoverage",
+    4: "InstantNGP",
+    5: "ReadLabel",
+    6: "GetDataset",
+    7: "TestObjects",
+    10: "ShapeNetPreProcess",
+    11: "GetCleanData",
+    20: "GetPathPlan",
+    21: "ViewPlanning",
+}
+
+
+def mode_view_cover(cfg: Config, sizes=range(3, 101)) -> None:
+    """Mode 0 (≙ get_cover_view_cases, main.cpp:1117-1182)."""
+    from ..viewspace.hemisphere import generate_all
+
+    generate_all(cfg.viewspace_path, sizes=sizes, seed=cfg.seed)
+
+
+def mode_view_novel(cfg: Config, names: Sequence[str] = ()) -> None:
+    """Mode 1 (≙ get_novel_view_cases + get_train_test_novel,
+    main.cpp:1184-1579)."""
+    from ..scene.object_setup import load_object
+    from ..viewspace.novel import get_or_create_novel_views
+    from .coverage import generate_novel_sets
+
+    get_or_create_novel_views(
+        cfg.workspace, cfg.viewspace_path, cfg.num_of_novel_test_views, cfg.seed
+    )
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        scene = load_object(obj_cfg, name)
+        if scene.ok:
+            generate_novel_sets(scene, obj_cfg)
+
+
+def mode_get_size_test(cfg: Config, names: Sequence[str]) -> List[str]:
+    from .coverage import get_size_test
+
+    return get_size_test(cfg, names)
+
+
+def _coverage_counts(cfg: Config) -> List[int]:
+    counts = list(range(3, cfg.coverage_view_num_max + 1, cfg.coverage_view_num_add))
+    counts.append(100)
+    return counts
+
+
+def mode_get_coverage(cfg: Config, names: Sequence[str]) -> None:
+    """Mode 3 (≙ main.cpp:2343-2462)."""
+    from ..scene.object_setup import load_object
+    from .coverage import get_coverage
+
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        scene = load_object(obj_cfg, name)
+        if not scene.ok:
+            continue
+        for n in _coverage_counts(obj_cfg):
+            get_coverage(scene, obj_cfg, n)
+
+
+def mode_instant_ngp(
+    cfg: Config, names: Sequence[str], nerf_cfg: Optional[NerfConfig] = None
+) -> None:
+    """Mode 4 (≙ main.cpp:2463-2489): per-view-count NeRF train + eval vs the
+    100-view set, writing ``<v>.txt`` metric files (idempotent)."""
+    from ..nerf.api import run
+    from ..scene.object_setup import load_object
+    from .coverage import get_coverage
+
+    nerf_cfg = nerf_cfg or NerfConfig(n_steps=cfg.n_steps)
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        scene = load_object(obj_cfg, name)
+        if not scene.ok:
+            continue
+        test_json = get_coverage(scene, obj_cfg, 100)
+        for n in _coverage_counts(obj_cfg):
+            metrics_file = os.path.join(obj_cfg.gt_path, f"{n}.txt")
+            if os.path.exists(metrics_file):
+                continue
+            train_json = get_coverage(scene, obj_cfg, n)
+            run(
+                train_json,
+                test_transforms=test_json,
+                save_metrics_path=metrics_file,
+                cfg=nerf_cfg,
+            )
+
+
+def mode_fit_labels(cfg: Config, names: Sequence[str]) -> None:
+    """The OriginPro stage (``Fit_ShapeNet``): batched lognormal fits over all
+    objects' metric files -> per-object label.txt."""
+    from ..labeling.labels import fit_object_from_metrics
+
+    counts = [n for n in _coverage_counts(cfg) if n != 100]
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        label_path = os.path.join(obj_cfg.gt_path, "label.txt")
+        if not os.path.exists(label_path):
+            fit_object_from_metrics(obj_cfg.gt_path, counts, label_path)
+
+
+def mode_read_label(cfg: Config, names: Sequence[str]):
+    """Mode 5 (≙ main.cpp:2490-2638)."""
+    from ..labeling.labels import parse_label_file
+    from ..labeling.stats import write_label_stats
+
+    results = []
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        results.append(parse_label_file(os.path.join(obj_cfg.gt_path, "label.txt")))
+    return write_label_stats(cfg.workspace, results)
+
+
+def mode_get_dataset(cfg: Config, names: Sequence[str]):
+    """Mode 6 (≙ main.cpp:2639-2885)."""
+    from ..labeling.dataset import build_dataset
+    from ..labeling.labels import parse_label_file
+
+    results = []
+    for name in names:
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        results.append(parse_label_file(os.path.join(obj_cfg.gt_path, "label.txt")))
+    coverage_root = os.path.dirname(cfg.replace(name_of_pcd="x").gt_path)
+    return build_dataset(
+        cfg.workspace, names, results, coverage_root=coverage_root, seed=cfg.seed
+    )
+
+
+def mode_test_objects(
+    cfg: Config,
+    names: Sequence[str],
+    labels: Dict[str, int],
+    predictor=None,
+    nerf_cfg: Optional[NerfConfig] = None,
+):
+    """Mode 7 (≙ main.cpp:2886-3465)."""
+    from .compare import compare_objects
+
+    return compare_objects(cfg, names, labels, predictor=predictor, nerf_cfg=nerf_cfg)
+
+
+def mode_shapenet_preprocess(cfg: Config, synset_ids: Sequence[str]):
+    from .coverage import shapenet_preprocess
+
+    return shapenet_preprocess(cfg, synset_ids)
+
+
+def mode_get_clean_data(cfg: Config, names: Sequence[str]):
+    from .coverage import get_clean_data
+
+    return get_clean_data(cfg, names)
+
+
+def mode_get_path_plan(cfg: Config, sizes=range(3, 101)) -> None:
+    """Mode 20 (≙ main.cpp:3622-3833)."""
+    from ..planning.tsp import precompute_paths
+
+    precompute_paths(cfg.viewspace_path, sizes=sizes)
+
+
+def mode_view_planning(
+    cfg: Config,
+    names: Sequence[str],
+    method_ids: Sequence[int] = (4, 0, 1, 2, 3),
+    init_view_cases: Sequence[Sequence[int]] = ((0, 1, 3),),
+    num_random_tests: int = 1,
+    nerf_cfg: Optional[NerfConfig] = None,
+    predictor=None,
+    coverage_sizes: Optional[Sequence[int]] = None,
+) -> List[str]:
+    """Mode 21 — the flagship experiment (≙ main.cpp:3834-4004).
+
+    ``coverage_sizes``: view-space sizes to pre-render (default: the
+    reference's full space + 5..60 + 100, main.cpp:3882-3957).
+    """
+    from ..scene.object_setup import _ensure_viewspace, load_object
+    from ..viewspace.hemisphere import ViewSpace
+    from .coverage import get_coverage
+    from .nbv import NBVRunner
+
+    save_paths = []
+    for name in names:
+        for method in method_ids:
+            obj_cfg = cfg.replace(name_of_pcd=name, method_of_IG=method)
+            scene = load_object(obj_cfg, name)
+            if not scene.ok:
+                continue
+            # ensure coverage sets: full space, 5..60, 100, plus 5-view init
+            sizes = (
+                coverage_sizes
+                if coverage_sizes is not None
+                else [obj_cfg.num_of_views] + list(range(5, 61)) + [100]
+            )
+            for n in dict.fromkeys([obj_cfg.num_of_views, 5, *sizes]):
+                get_coverage(scene, obj_cfg, n)
+            init_units = _ensure_viewspace(obj_cfg.viewspace_path, 5)
+            init_vs = ViewSpace(init_units, scene.points, obj_cfg.view_space_radius)
+            for case in init_view_cases:
+                for test_id in range(num_random_tests):
+                    runner = NBVRunner(
+                        obj_cfg, scene, nerf_cfg=nerf_cfg, predictor=predictor
+                    )
+                    runner.init_views = init_vs.views
+                    first = scene.view_space.top_view_id()
+                    save_paths.append(runner.nbv_loop(first, list(case), test_id))
+    return save_paths

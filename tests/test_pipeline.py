@@ -1,0 +1,152 @@
+import os
+
+import numpy as np
+import pytest
+
+from nerf_prv_tpu.core.config import CameraConfig, Config
+from nerf_prv_tpu.pipeline import modes
+from nerf_prv_tpu.pipeline.nbv import (
+    NBVRunner,
+    ensemble_uncertainty_rgb,
+    ensemble_uncertainty_rgb_density,
+)
+from nerf_prv_tpu.prvnet.infer import BudgetPredictor
+from nerf_prv_tpu.prvnet.model import IMG_PATTERN
+from nerf_prv_tpu.prvnet.train import TrainConfig, init_model
+from nerf_prv_tpu.scene import load_object, save_ply_binary
+from nerf_prv_tpu.viewspace import load_path_order, load_view_space
+
+from synthetic import make_object
+
+TEST_CAM = CameraConfig(
+    width=96, height=54, fx=68.7, fy=68.5, ppx=48.5, ppy=27.9, model=0
+)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    """A tiny ShapeNet-style workspace with one synthetic object."""
+    root = tmp_path_factory.mktemp("ws")
+    pts, cols = make_object(8000, seed=3)
+    save_ply_binary(str(root / "models" / "ShapeNet" / "toy0.ply"), pts * 20, cols)
+    cfg = Config(
+        workspace=str(root / "ws"),
+        model_path=str(root / "models"),
+        viewspace_path=str(root / "ws" / "viewspace"),
+        name_of_pcd="toy0",
+        num_of_views=60,
+        num_of_max_iteration=3,
+        coverage_view_num_max=7,
+        coverage_view_num_add=2,
+        camera=TEST_CAM,
+        n_steps=100,
+        evaluate=False,
+    )
+    return cfg
+
+
+def test_mode0_view_cover(workspace):
+    cfg = workspace
+    modes.mode_view_cover(cfg, sizes=[3, 5, 7, 60])
+    for n in (3, 5, 7, 60):
+        pts = load_view_space(cfg.viewspace_path, n)
+        assert pts.shape == (n, 3)
+        # contains the pole start view
+        assert np.linalg.norm(pts - [0, 0, 1], axis=1).min() < 1e-6
+
+
+def test_mode20_path_plan(workspace):
+    cfg = workspace
+    modes.mode_get_path_plan(cfg, sizes=[3, 5, 7, 60])
+    order = load_path_order(cfg.viewspace_path, 60)
+    assert sorted(order) == list(range(60))
+    views = load_view_space(cfg.viewspace_path, 60)
+    assert np.linalg.norm(views[order[0]] - [0, 0, 1]) < 1e-6
+
+
+def test_mode3_coverage(workspace):
+    cfg = workspace
+    modes.mode_get_coverage(cfg, ["toy0"])
+    for n in (3, 5, 7, 100):
+        assert os.path.exists(os.path.join(cfg.gt_path, f"{n}.json"))
+        assert os.path.exists(os.path.join(cfg.gt_path, str(n), "rgbaClip_0.png"))
+    # size.txt persisted by the augmentation
+    assert os.path.exists(os.path.join(cfg.gt_path, "size.txt"))
+
+
+def test_ensemble_uncertainty_metrics():
+    rng = np.random.default_rng(0)
+    # identical renders -> zero/sub-baseline uncertainty
+    img = rng.integers(0, 255, (1, 8, 8, 4), np.uint8)
+    same = np.repeat(img, 3, axis=0)
+    noisy = same.copy()
+    noisy[1, ..., :3] = rng.integers(0, 255, (8, 8, 3), np.uint8)
+    assert ensemble_uncertainty_rgb(noisy) > ensemble_uncertainty_rgb(same)
+    # density term: transparent renders more uncertain than opaque
+    opaque = same.copy()
+    opaque[..., 3] = 255
+    transparent = same.copy()
+    transparent[..., 3] = 0
+    assert ensemble_uncertainty_rgb_density(transparent) > ensemble_uncertainty_rgb_density(opaque)
+
+
+def _tiny_predictor():
+    cfg = TrainConfig(arch="convnextv2_atto", image_size=64)
+    _, params = init_model(cfg, n_views=3, image_size=64)
+    return BudgetPredictor(
+        params=params, arch="convnextv2_atto", pattern=IMG_PATTERN[2], crop=64
+    )
+
+
+def test_mode21_method4_then_baselines(workspace):
+    cfg = workspace
+    scene = load_object(cfg, "toy0")
+    assert scene.ok
+
+    predictor = _tiny_predictor()
+    paths = modes.mode_view_planning(
+        cfg,
+        ["toy0"],
+        method_ids=(4, 0, 1),
+        init_view_cases=((0, 1, 3),),
+        predictor=predictor,
+        coverage_sizes=(),
+    )
+    assert len(paths) == 3
+    m4 = paths[0]
+    assert m4.endswith("_m4_v3_t0")
+    budget_file = os.path.join(m4, "view_budget.txt")
+    assert os.path.exists(budget_file)
+    budget = int(open(budget_file).read().split()[0])
+    assert 13 <= budget <= 58
+    assert os.path.exists(os.path.join(m4, "run_time.txt"))
+    assert os.path.exists(os.path.join(m4, "movement", "init_path.txt"))
+    # PRV method ran exactly budget-1 iterations of movement
+    moves = [f for f in os.listdir(os.path.join(m4, "movement")) if f[0].isdigit()]
+    assert len(moves) == budget - 1
+
+    # baselines matched the PRV budget (≙ main.cpp:1735-1749)
+    for p in paths[1:]:
+        moves = [f for f in os.listdir(os.path.join(p, "movement")) if f[0].isdigit()]
+        assert len(moves) == budget - 1
+        assert os.path.exists(os.path.join(p, "run_time.txt"))
+        # per-iteration jsons were emitted
+        assert os.path.exists(os.path.join(p, "json", "0.json"))
+        assert os.path.exists(os.path.join(p, "render_json", "0.json"))
+
+    # resume guard: rerunning is a no-op
+    paths2 = modes.mode_view_planning(
+        cfg, ["toy0"], method_ids=(4,), predictor=predictor, coverage_sizes=()
+    )
+    assert paths2[0] == m4
+
+
+def test_cli_mode0(workspace, capsys):
+    from nerf_prv_tpu.pipeline.cli import main
+
+    cfg = workspace
+    rc = main(
+        ["--mode", "0", "--workspace", cfg.workspace, "--sizes", "3", "4"]
+    )
+    assert rc == 0
+    assert "System over." in capsys.readouterr().out
