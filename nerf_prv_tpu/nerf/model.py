@@ -27,10 +27,12 @@ class NerfConfig:
     geo_features: int = 15
     sh_degree: int = 4  # 16 direction coefficients
     density_activation: str = "exp"
-    # marching
-    n_samples: int = 128
+    # marching (4096 x 96 = ~393k samples/batch, instant-ngp's batch scale;
+    # bounded by HBM temp usage of the XLA gather path — the Pallas fused
+    # encode raises this)
+    n_samples: int = 96
     # training
-    train_rays: int = 8192
+    train_rays: int = 4096
     n_steps: int = 2500
     lr: float = 1e-2
     weight_decay: float = 1e-6

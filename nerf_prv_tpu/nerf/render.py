@@ -49,7 +49,12 @@ def render_rays(
 
     flat_pos = pos.reshape(n * ns, 3)
     flat_dirs = jnp.broadcast_to(dirs[:, None, :], (n, ns, 3)).reshape(n * ns, 3)
-    sigma, rgb = field(params, flat_pos, flat_dirs, cfg)
+    # remat the field: recompute hash gathers + MLPs in the backward pass
+    # instead of keeping per-level gather intermediates live in HBM —
+    # trades ~2x field FLOPs for an order of magnitude less live memory
+    sigma, rgb = jax.checkpoint(
+        lambda p, x, d: field(p, x, d, cfg), static_argnums=()
+    )(params, flat_pos, flat_dirs)
     sigma = sigma.reshape(n, ns) * valid[:, None]
     rgb = rgb.reshape(n, ns, 3)
 
@@ -69,7 +74,7 @@ def render_image(
     rotation: jnp.ndarray,
     camera,
     cfg: NerfConfig,
-    chunk: int = 1 << 16,
+    chunk: int = 1 << 14,
 ):
     """Full-frame render; returns (H, W, 4) float32 RGBA on black background.
 
