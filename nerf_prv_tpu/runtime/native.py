@@ -46,6 +46,24 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8),
         ]
         lib.prv_ply_close.argtypes = [ctypes.c_void_p]
+        lib.prv_voxel_first_win.restype = ctypes.c_long
+        lib.prv_voxel_first_win.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.prv_white_to_alpha.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.prv_poll_file.restype = ctypes.c_int
+        lib.prv_poll_file.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_long]
+        lib.prv_touch.restype = ctypes.c_int
+        lib.prv_touch.argtypes = [ctypes.c_char_p]
+        lib.prv_remove.restype = ctypes.c_int
+        lib.prv_remove.argtypes = [ctypes.c_char_p]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -78,3 +96,51 @@ def load_ply(path: str) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         return pts, (cols if has_color else None)
     finally:
         lib.prv_ply_close(handle)
+
+
+def voxel_first_win(points: np.ndarray, resolution: float) -> np.ndarray:
+    """Indices of the first point per occupied voxel (native fast path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    keep = np.empty(len(pts), dtype=np.int64)
+    n = lib.prv_voxel_first_win(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(pts),
+        float(resolution),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return keep[:n]
+
+
+def white_to_alpha(rgb: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 -> (H, W, 4) with white pixels transparent."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    lib.prv_white_to_alpha(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h * w,
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return rgba
+
+
+def poll_file(path: str, interval_ms: int = 100, timeout_ms: int = -1) -> bool:
+    """Block until a file exists (native ready-file IPC); True when found."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    return lib.prv_poll_file(path.encode(), interval_ms, timeout_ms) == 0
+
+
+def touch(path: str) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    if lib.prv_touch(path.encode()) != 0:
+        raise OSError(f"touch failed: {path}")
