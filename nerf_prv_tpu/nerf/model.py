@@ -38,6 +38,10 @@ class NerfConfig:
     weight_decay: float = 1e-6
     huber_delta: float = 0.1
     compute_dtype: Any = jnp.bfloat16
+    # encode implementation: "auto" (xla on cpu, sorted on tpu), "xla"
+    # (autodiff scatter), "sorted" (sort-based unique-scatter backward),
+    # "fused" (Pallas forward + sorted backward)
+    encode_impl: str = "auto"
 
 
 def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:
@@ -89,9 +93,26 @@ def init_params(key, cfg: NerfConfig) -> Dict[str, Any]:
     }
 
 
+def _encode(table, x, cfg: NerfConfig):
+    impl = cfg.encode_impl
+    if impl == "auto":
+        # duplicate-index scatter-add serializes on TPU; the sort-based
+        # backward wins there, while CPU prefers the native scatter
+        impl = "xla" if jax.default_backend() == "cpu" else "sorted"
+    if impl == "sorted":
+        from ..ops.sorted_grad import encode_sorted
+
+        return encode_sorted(table, x, cfg.grid)
+    if impl == "fused":
+        from ..ops.fused import encode_fused
+
+        return encode_fused(table, x, cfg.grid)
+    return encode(table, x, cfg.grid)
+
+
 def density_raw(params, x, cfg: NerfConfig):
     """x (N,3) in [0,1]^3 -> (raw log-density (N,), geo features (N, G))."""
-    feats = encode(params["table"], x, cfg.grid)
+    feats = _encode(params["table"], x, cfg)
     ct = cfg.compute_dtype
     hmid = jnp.maximum(feats.astype(ct) @ params["sigma_w0"].astype(ct), 0)
     out = (hmid @ params["sigma_w1"].astype(ct)).astype(jnp.float32)
