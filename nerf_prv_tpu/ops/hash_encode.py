@@ -38,9 +38,9 @@ def _encode_kernel(res_ref, x_ref, table_ref, out_ref, *, table_size: int, featu
     dense = ((res + 1) * (res + 1) * (res + 1)) <= table_size
     x = x_ref[...]  # (B, 3)
     pos = x * res_f
-    cell = jnp.floor(pos)
-    frac = pos - cell
-    cell = cell.astype(jnp.uint32)
+    cell_i = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - cell_i.astype(jnp.float32)
+    cell = cell_i.astype(jnp.uint32)
     table = table_ref[0]  # (T, F) in VMEM
     res1 = (res + 1).astype(jnp.uint32)
 
