@@ -10,7 +10,7 @@ from .hashgrid import HashGridConfig, encode, init_table
 from .metrics import linear_to_srgb, mse2psnr, psnr, srgb_to_linear, ssim
 from .model import NerfConfig, field, init_params
 from .rays import RayDataset, load_dataset, ray_aabb, rays_from_pixels
-from .render import render_image, render_rays
+from .render import render_image, render_rays, render_views
 from .train import train
 
 __all__ = [
@@ -36,6 +36,7 @@ __all__ = [
     "ray_aabb",
     "rays_from_pixels",
     "render_image",
+    "render_views",
     "render_rays",
     "train",
 ]

@@ -21,7 +21,7 @@ import numpy as np
 from .metrics import evaluate_pair, mse2psnr
 from .model import NerfConfig
 from .rays import RayDataset, load_dataset
-from .render import render_image
+from .render import render_image, render_views
 from .train import train
 
 
@@ -43,21 +43,28 @@ def eval_nerf(
     ds = load_dataset(test_json, with_images=True)
     tot_psnr, tot_ssim, tot_mse, n = 0.0, 0.0, 0.0, 0
     minpsnr, maxpsnr = float("inf"), -float("inf")
-    for i in range(ds.n_frames):
-        img = render_image(
-            params, jnp.asarray(ds.origins[i]), jnp.asarray(ds.rotations[i]), ds.camera, cfg
+    group = 8  # frames rendered per batched dispatch
+    for start in range(0, ds.n_frames, group):
+        stop = min(start + group, ds.n_frames)
+        imgs = render_views(
+            params,
+            jnp.asarray(ds.origins[start:stop]),
+            jnp.asarray(ds.rotations[start:stop]),
+            ds.camera,
+            cfg,
         )
-        pred = img[..., :3]
-        gt = ds.pixels[i]
-        gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
-        p, s, m = evaluate_pair(pred, gt_rgb)
-        p, s, m = float(p), float(s), float(m)
-        tot_psnr += p
-        tot_ssim += s
-        tot_mse += m
-        minpsnr = min(minpsnr, p)
-        maxpsnr = max(maxpsnr, p)
-        n += 1
+        for i in range(stop - start):
+            pred = imgs[i, ..., :3]
+            gt = ds.pixels[start + i]
+            gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
+            p, s, m = evaluate_pair(pred, gt_rgb)
+            p, s, m = float(p), float(s), float(m)
+            tot_psnr += p
+            tot_ssim += s
+            tot_mse += m
+            minpsnr = min(minpsnr, p)
+            maxpsnr = max(maxpsnr, p)
+            n += 1
     return {
         "PSNR": tot_psnr / max(n, 1),
         "SSIM": tot_ssim / max(n, 1),
@@ -98,17 +105,24 @@ def screenshot_nerf(
 
     tf = load_transforms(render_json)
     os.makedirs(out_dir, exist_ok=True)
-    for i in range(ds.n_frames):
-        img = render_image(
-            params, jnp.asarray(ds.origins[i]), jnp.asarray(ds.rotations[i]), ds.camera, cfg
+    group = 16
+    for start in range(0, ds.n_frames, group):
+        stop = min(start + group, ds.n_frames)
+        imgs = render_views(
+            params,
+            jnp.asarray(ds.origins[start:stop]),
+            jnp.asarray(ds.rotations[start:stop]),
+            ds.camera,
+            cfg,
         )
-        rgba = np.asarray(
-            jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+        rgba_all = np.asarray(
+            jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.uint8)
         )
-        name = os.path.basename(tf.file_paths[i])
-        if not os.path.splitext(name)[1]:
-            name += ".png"
-        Image.fromarray(rgba, "RGBA").save(os.path.join(out_dir, name))
+        for i in range(stop - start):
+            name = os.path.basename(tf.file_paths[start + i])
+            if not os.path.splitext(name)[1]:
+                name += ".png"
+            Image.fromarray(rgba_all[i], "RGBA").save(os.path.join(out_dir, name))
 
 
 def run(

@@ -42,6 +42,14 @@ class NerfConfig:
     # (autodiff scatter), "sorted" (sort-based unique-scatter backward),
     # "fused" (Pallas forward + sorted backward)
     encode_impl: str = "auto"
+    # field backbone: "voxel" (wide-row corner-block grid — one gather per
+    # sample, the TPU-fast flagship) or "hash" (instant-ngp-style multires
+    # hash grid, kept for reference parity)
+    field_impl: str = "voxel"
+    # voxel-field hyperparameters
+    voxel_grid_size: int = 40
+    voxel_features: int = 8
+    voxel_pe_freqs: int = 4
 
 
 def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:
@@ -73,6 +81,10 @@ def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_params(key, cfg: NerfConfig) -> Dict[str, Any]:
+    if cfg.field_impl == "voxel":
+        from .voxelfield import init_voxel_params
+
+        return init_voxel_params(key, cfg)
     k_table, k1, k2, k3, k4 = jax.random.split(key, 5)
     in_dim = cfg.grid.out_dim
     h = cfg.hidden
@@ -119,11 +131,6 @@ def density_raw(params, x, cfg: NerfConfig):
     return out[..., 0], out[..., 1:]
 
 
-def density(params, x, cfg: NerfConfig):
-    raw, _ = density_raw(params, x, cfg)
-    return jnp.exp(raw)
-
-
 def radiance(params, geo_feats, dirs, cfg: NerfConfig):
     """Geometry features + unit view dirs -> rgb in [0,1]."""
     sh = sh_encode_deg4(dirs)
@@ -137,6 +144,20 @@ def radiance(params, geo_feats, dirs, cfg: NerfConfig):
 
 def field(params, x, dirs, cfg: NerfConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Positions + dirs -> (sigma (N,), rgb (N,3))."""
+    if cfg.field_impl == "voxel":
+        from .voxelfield import voxel_field
+
+        return voxel_field(params, x, dirs, cfg)
     raw, geo = density_raw(params, x, cfg)
     rgb = radiance(params, geo, dirs, cfg)
     return jnp.exp(raw), rgb
+
+
+def density(params, x, cfg: NerfConfig):
+    if cfg.field_impl == "voxel":
+        from .voxelfield import voxel_density_raw
+
+        raw, _ = voxel_density_raw(params, x, cfg)
+        return jnp.exp(raw)
+    raw, _ = density_raw(params, x, cfg)
+    return jnp.exp(raw)

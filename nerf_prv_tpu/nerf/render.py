@@ -68,13 +68,18 @@ def render_rays(
     return out_rgb, out_alpha
 
 
+def _default_chunk(cfg: NerfConfig) -> int:
+    # the hash field's gather temps cap the chunk; the voxel field streams
+    return 1 << 14 if cfg.field_impl == "hash" else 1 << 17
+
+
 def render_image(
     params,
     origin: jnp.ndarray,
     rotation: jnp.ndarray,
     camera,
     cfg: NerfConfig,
-    chunk: int = 1 << 14,
+    chunk: Optional[int] = None,
 ):
     """Full-frame render; returns (H, W, 4) float32 RGBA on black background.
 
@@ -82,26 +87,50 @@ def render_image(
     EnsembleRGBDensity baseline reads ngp's RGBA screenshots
     (``main.cpp:2112-2127``).
     """
+    return render_views(
+        params, origin[None], rotation[None], camera, cfg, chunk=chunk
+    )[0]
+
+
+def render_views(
+    params,
+    origins: jnp.ndarray,   # (F, 3) grid-space camera centers
+    rotations: jnp.ndarray,  # (F, 3, 3)
+    camera,
+    cfg: NerfConfig,
+    chunk: Optional[int] = None,
+):
+    """Batched multi-frame render -> (F, H, W, 4).
+
+    All frames' rays are flattened into one stream and chunked through a
+    single jitted program — one dispatch per chunk, not per frame, which
+    matters when dispatch latency is high (remote TPU tunnels).
+    """
     from .rays import pixel_dirs_cam
 
+    chunk = chunk or _default_chunk(cfg)
+    n_frames = origins.shape[0]
     h, w = camera.height, camera.width
     u, v = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32))
-    d_cam = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))
-    d_grid = d_cam @ rotation.T
+    d_cam = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))  # (HW, 3)
+    d_grid = jnp.einsum("fij,nj->fni", jnp.asarray(rotations), d_cam)
     d_grid = d_grid / jnp.linalg.norm(d_grid, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(origin, d_grid.shape)
+    d_all = d_grid.reshape(-1, 3)
+    o_all = jnp.broadcast_to(
+        jnp.asarray(origins)[:, None, :], (n_frames, h * w, 3)
+    ).reshape(-1, 3)
 
-    n = h * w
+    n = n_frames * h * w
     pad = (-n) % chunk
-    d_pad = jnp.concatenate([d_grid, jnp.ones((pad, 3))], axis=0)
-    o_pad = jnp.concatenate([o, jnp.zeros((pad, 3))], axis=0)
+    d_pad = jnp.concatenate([d_all, jnp.ones((pad, 3))], axis=0)
+    o_pad = jnp.concatenate([o_all, jnp.zeros((pad, 3))], axis=0)
     outs_rgb, outs_a = [], []
     for i in range(0, n + pad, chunk):
         rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
         outs_rgb.append(rgb)
         outs_a.append(a)
-    rgb = jnp.concatenate(outs_rgb)[:n].reshape(h, w, 3)
-    a = jnp.concatenate(outs_a)[:n].reshape(h, w)
+    rgb = jnp.concatenate(outs_rgb)[:n].reshape(n_frames, h, w, 3)
+    a = jnp.concatenate(outs_a)[:n].reshape(n_frames, h, w)
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 
 

@@ -25,7 +25,7 @@ from .render import render_rays
 
 def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
     def wd_mask(params):
-        return {k: (k != "table") for k in params}
+        return {k: k not in ("table", "grid") for k in params}
 
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),

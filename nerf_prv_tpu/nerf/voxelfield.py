@@ -1,0 +1,103 @@
+"""Wide-row voxel field — the TPU-fast NeRF backbone.
+
+Measured on v5e: XLA gathers/scatters cost ~5-15 ns *per row* regardless of
+row width (2 -> 128 floats fetch at the same rows/s), while the CUDA-style
+multiresolution hash grid needs 8 corners x 16 levels = 128 rows per sample.
+This field needs exactly ONE row per sample: each grid row stores the full
+2x2x2 corner feature block of its cell (features x 8), the trilinear blend
+happens in-register, and an MLP over (blended features, position encoding,
+SH-encoded direction) supplies sub-voxel detail.  Gradients reach the grid
+through the blend weights — instant-ngp-style direct supervision — and the
+backward pass is ONE width-free scatter-add per sample.
+
+Corner blocks are untied across neighboring cells (each corner value is
+stored by up to 8 cells).  A consistency penalty is unnecessary in practice:
+overlapping rows see near-identical gradients through matching trilinear
+weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pe_encode(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
+    """Sin/cos positional encoding, (N, 3) -> (N, 6*n_freqs)."""
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32) * jnp.pi
+    ang = x[..., None, :] * freqs[:, None]  # (N, F, 3)
+    enc = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return enc.reshape(x.shape[:-1] + (6 * n_freqs,))
+
+
+def init_voxel_params(key, cfg) -> Dict[str, Any]:
+    """cfg: NerfConfig with voxel_grid_size / voxel_features set."""
+    g = cfg.voxel_grid_size
+    f = cfg.voxel_features
+    h = cfg.hidden
+    geo = cfg.geo_features + 1
+    n_pe = 6 * cfg.voxel_pe_freqs
+    keys = jax.random.split(key, 6)
+
+    def dense(k, n_in, n_out):
+        lim = jnp.sqrt(6.0 / (n_in + n_out))
+        return jax.random.uniform(k, (n_in, n_out), minval=-lim, maxval=lim)
+
+    return {
+        "grid": jax.random.uniform(
+            keys[0], (g * g * g, 8 * f), minval=-1e-4, maxval=1e-4
+        ),
+        "sigma_w0": dense(keys[1], f + n_pe, h),
+        "sigma_w1": dense(keys[2], h, geo),
+        "color_w0": dense(keys[3], 16 + cfg.geo_features, h),
+        "color_w1": dense(keys[4], h, h),
+        "color_w2": dense(keys[5], h, 3),
+    }
+
+
+def _blend(params, x, cfg):
+    """One gather per sample + in-register trilinear blend -> (N, F)."""
+    g = cfg.voxel_grid_size
+    f = cfg.voxel_features
+    pos = jnp.clip(x, 0.0, 1.0 - 1e-6) * (g - 1)
+    cell = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - cell
+    row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
+    # blend as 8 flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would
+    # tile onto the (8, 128) registers with heavy padding
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    out = jnp.zeros((rows.shape[0], f), rows.dtype)
+    for c, (di, dj, dk) in enumerate(
+        (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
+    ):
+        w = (
+            (fx if di else 1.0 - fx)
+            * (fy if dj else 1.0 - fy)
+            * (fz if dk else 1.0 - fz)
+        )
+        out = out + rows[:, c * f : (c + 1) * f] * w[:, None]
+    return out
+
+
+def voxel_density_raw(params, x, cfg):
+    from .model import NerfConfig  # noqa: F401 (type reference)
+
+    feats = _blend(params, x, cfg)
+    pe = pe_encode(x, cfg.voxel_pe_freqs)
+    ct = cfg.compute_dtype
+    h = jnp.concatenate([feats, pe], axis=-1).astype(ct)
+    h = jnp.maximum(h @ params["sigma_w0"].astype(ct), 0)
+    out = (h @ params["sigma_w1"].astype(ct)).astype(jnp.float32)
+    return out[..., 0], out[..., 1:]
+
+
+def voxel_field(params, x, dirs, cfg) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from .model import radiance
+
+    raw, geo = voxel_density_raw(params, x, cfg)
+    rgb = radiance(params, geo, dirs, cfg)
+    return jnp.exp(raw), rgb
