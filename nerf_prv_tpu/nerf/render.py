@@ -49,12 +49,17 @@ def render_rays(
 
     flat_pos = pos.reshape(n * ns, 3)
     flat_dirs = jnp.broadcast_to(dirs[:, None, :], (n, ns, 3)).reshape(n * ns, 3)
-    # remat the field: recompute hash gathers + MLPs in the backward pass
-    # instead of keeping per-level gather intermediates live in HBM —
-    # trades ~2x field FLOPs for an order of magnitude less live memory
-    sigma, rgb = jax.checkpoint(
-        lambda p, x, d: field(p, x, d, cfg), static_argnums=()
-    )(params, flat_pos, flat_dirs)
+    if cfg.field_impl == "hash":
+        # remat the hash field: recompute gathers + MLPs in the backward pass
+        # instead of keeping per-level gather intermediates live in HBM —
+        # trades ~2x field FLOPs for an order of magnitude less live memory
+        sigma, rgb = jax.checkpoint(
+            lambda p, x, d: field(p, x, d, cfg), static_argnums=()
+        )(params, flat_pos, flat_dirs)
+    else:
+        # the voxel field's activations are small; remat would only re-pay
+        # the gather latency
+        sigma, rgb = field(params, flat_pos, flat_dirs, cfg)
     sigma = sigma.reshape(n, ns) * valid[:, None]
     rgb = rgb.reshape(n, ns, 3)
 
