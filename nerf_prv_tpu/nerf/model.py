@@ -50,6 +50,9 @@ class NerfConfig:
     voxel_grid_size: int = 40
     voxel_features: int = 8
     voxel_pe_freqs: int = 4
+    # ray bound: "sphere" clips sampling to the object's bounding sphere
+    # (tight by the transforms.json scale convention); "cube" = unit AABB
+    bound: str = "sphere"
 
 
 def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:

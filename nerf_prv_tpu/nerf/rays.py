@@ -118,3 +118,23 @@ def ray_aabb(origins, dirs, lo=0.0, hi=1.0):
     tmin = jnp.maximum(tmin, 0.0)
     valid = tmax > tmin
     return tmin, jnp.maximum(tmax, tmin), valid
+
+
+def ray_sphere(origins, dirs, center=0.5, radius=0.52):
+    """Entry/exit distances with the object's bounding sphere.
+
+    The transforms.json convention maps the object's bounding radius to 0.5
+    grid units about the cube center (scale = 0.5/predicted_size,
+    main.cpp:1599), so the inscribed sphere is a tight bound: rays that miss
+    it contribute nothing, and hit rays get their samples concentrated on a
+    <= 1.04-long segment instead of up to the sqrt(3) cube diagonal.
+    """
+    oc = origins - center
+    b = jnp.sum(oc * dirs, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tmin = jnp.maximum(-b - sq, 0.0)
+    tmax = jnp.maximum(-b + sq, 0.0)
+    valid = (disc > 0.0) & (tmax > tmin)
+    return tmin, jnp.maximum(tmax, tmin), valid

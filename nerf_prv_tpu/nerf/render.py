@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .model import NerfConfig, field
-from .rays import ray_aabb
+from .rays import ray_aabb, ray_sphere
 
 MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
 
@@ -36,7 +36,10 @@ def render_rays(
     compositing instead of the reference's 8-spp averaging, run.py:232).
     """
     n, ns = origins.shape[0], cfg.n_samples
-    tmin, tmax, valid = ray_aabb(origins, dirs)
+    if cfg.bound == "sphere":
+        tmin, tmax, valid = ray_sphere(origins, dirs)
+    else:
+        tmin, tmax, valid = ray_aabb(origins, dirs)
     span = (tmax - tmin) / ns
     base = jnp.arange(ns, dtype=jnp.float32)[None, :]
     if key is not None:
@@ -126,17 +129,62 @@ def render_views(
     ).reshape(-1, 3)
 
     n = n_frames * h * w
-    pad = (-n) % chunk
-    d_pad = jnp.concatenate([d_all, jnp.ones((pad, 3))], axis=0)
-    o_pad = jnp.concatenate([o_all, jnp.zeros((pad, 3))], axis=0)
-    outs_rgb, outs_a = [], []
-    for i in range(0, n + pad, chunk):
-        rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
-        outs_rgb.append(rgb)
-        outs_a.append(a)
-    rgb = jnp.concatenate(outs_rgb)[:n].reshape(n_frames, h, w, 3)
-    a = jnp.concatenate(outs_a)[:n].reshape(n_frames, h, w)
+    # ray compaction: sort hit rays to the front (most coverage-image rays
+    # miss the bounding sphere entirely — object pixel rates run 3-30%,
+    # cf. object_pixel_rate in DefaultConfiguration.yaml) and march only the
+    # chunks that contain hits; misses composite to black/alpha 0 exactly.
+    if cfg.bound == "sphere":
+        order, n_hit = _hit_order(o_all, d_all)
+        n_hit = int(n_hit)
+        o_sorted = o_all[order]
+        d_sorted = d_all[order]
+        pad = (-n) % chunk
+        d_pad = jnp.concatenate([d_sorted, jnp.ones((pad, 3))], axis=0)
+        o_pad = jnp.concatenate([o_sorted, jnp.zeros((pad, 3))], axis=0)
+        outs_rgb, outs_a = [], []
+        stop = min(n + pad, ((n_hit + chunk - 1) // chunk) * chunk)
+        for i in range(0, stop, chunk):
+            rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
+            outs_rgb.append(rgb)
+            outs_a.append(a)
+        if outs_rgb:
+            rgb_hit = jnp.concatenate(outs_rgb)[:n]
+            a_hit = jnp.concatenate(outs_a)[:n]
+        else:
+            rgb_hit = jnp.zeros((0, 3))
+            a_hit = jnp.zeros((0,))
+        rgb, a = _scatter_back(rgb_hit, a_hit, order, n)
+    else:
+        pad = (-n) % chunk
+        d_pad = jnp.concatenate([d_all, jnp.ones((pad, 3))], axis=0)
+        o_pad = jnp.concatenate([o_all, jnp.zeros((pad, 3))], axis=0)
+        outs_rgb, outs_a = [], []
+        for i in range(0, n + pad, chunk):
+            rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
+            outs_rgb.append(rgb)
+            outs_a.append(a)
+        rgb = jnp.concatenate(outs_rgb)[:n]
+        a = jnp.concatenate(outs_a)[:n]
+    rgb = rgb.reshape(n_frames, h, w, 3)
+    a = a.reshape(n_frames, h, w)
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+@jax.jit
+def _hit_order(origins, dirs):
+    _, _, valid = ray_sphere(origins, dirs)
+    order = jnp.argsort(~valid)  # hits first, stable
+    return order, jnp.sum(valid)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _scatter_back(rgb_hit, a_hit, order, n):
+    rgb = jnp.zeros((n, 3), rgb_hit.dtype)
+    a = jnp.zeros((n,), a_hit.dtype)
+    m = rgb_hit.shape[0]
+    rgb = rgb.at[order[:m]].set(rgb_hit, unique_indices=True)
+    a = a.at[order[:m]].set(a_hit, unique_indices=True)
+    return rgb, a
 
 
 @partial(jax.jit, static_argnames=("cfg",))

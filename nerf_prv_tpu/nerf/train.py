@@ -36,10 +36,16 @@ def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
 
 def _sample_batch(key, pixels_u8, rot, org, camera, n_rays):
     kf, ku, kv, kb = jax.random.split(key, 4)
-    f = jax.random.randint(kf, (n_rays,), 0, pixels_u8.shape[0])
-    u = jax.random.randint(ku, (n_rays,), 0, pixels_u8.shape[2]).astype(jnp.float32)
-    v = jax.random.randint(kv, (n_rays,), 0, pixels_u8.shape[1]).astype(jnp.float32)
-    rgba = pixels_u8[f, v.astype(jnp.int32), u.astype(jnp.int32)].astype(jnp.float32) / 255.0
+    n_f, h, w = pixels_u8.shape[:3]
+    f = jax.random.randint(kf, (n_rays,), 0, n_f)
+    ui = jax.random.randint(ku, (n_rays,), 0, w)
+    vi = jax.random.randint(kv, (n_rays,), 0, h)
+    # single-axis flat gather: multi-axis advanced indexing lowers to a slow
+    # multi-dim scatter/gather on TPU
+    flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
+    rgba = flat[(f * h + vi) * w + ui].astype(jnp.float32) / 255.0
+    u = ui.astype(jnp.float32)
+    v = vi.astype(jnp.float32)
     # random background color per ray (≙ ngp random_bg_color): supervises
     # opacity through the known alpha channel instead of leaving empty-space
     # density unconstrained on the black eval background
