@@ -177,6 +177,16 @@ class Config:
         return os.path.join(self.workspace, "pvb_dataset")
 
     @property
+    def effective_coverage_max(self) -> int:
+        """Non-ShapeNet (HB) objects sweep 3..90 step 1 (≙ Share_Data.hpp:
+        405-409 overriding the yaml values when !is_shape_net)."""
+        return self.coverage_view_num_max if self.is_shape_net else 90
+
+    @property
+    def effective_coverage_add(self) -> int:
+        return self.coverage_view_num_add if self.is_shape_net else 1
+
+    @property
     def ensemble_num_for_method(self) -> int:
         """EnsembleRGB uses 2 members, EnsembleRGBDensity 5 (≙ Share_Data.hpp:505-510)."""
         if self.method_of_IG == 2:

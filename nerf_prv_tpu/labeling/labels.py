@@ -25,6 +25,14 @@ X_EVAL = np.arange(3, 101)
 N_GAPS = 11
 N_GRADIENTS = 20
 
+# view counts excluded from the HB fit (≙ Fit_HB, NeRF_fit_curve.cpp:238,251)
+HB_SKIP = {13, 17, 31, 41, 47}
+
+
+def hb_view_counts(view_num_max: int = 50, view_num_add: int = 2) -> list:
+    """The Fit_HB sample grid: 3..50 step 2 minus the skip set."""
+    return [v for v in range(3, view_num_max + 1, view_num_add) if v not in HB_SKIP]
+
 
 @dataclass
 class LabelResult:
@@ -55,8 +63,11 @@ def fit_objects(
     x_samples: Sequence[float],
     psnr_samples: np.ndarray,   # (B, n) measured PSNR at x_samples
     max_psnrs: np.ndarray,      # (B,) PSNR at 100 views
+    check_samples_below_max: bool = True,
 ) -> List[LabelResult]:
-    """Batched fit + labeling of many objects at once (mode Fit_ShapeNet)."""
+    """Batched fit + labeling of many objects at once (≙ Fit_ShapeNet;
+    ``check_samples_below_max=False`` gives Fit_HB's convergence rule, which
+    omits the sample-vs-max rejection, NeRF_fit_curve.cpp:305-309)."""
     psnr_samples = np.atleast_2d(np.asarray(psnr_samples, np.float64))
     max_psnrs = np.atleast_1d(np.asarray(max_psnrs, np.float64))
     res = fit_batch(np.asarray(x_samples, np.float64), psnr_samples)
@@ -65,7 +76,7 @@ def fit_objects(
     for i in range(len(psnr_samples)):
         converged = bool(res.converged[i])
         # reject when measured samples exceed the 100-view PSNR
-        if (psnr_samples[i] > max_psnrs[i]).any():
+        if check_samples_below_max and (psnr_samples[i] > max_psnrs[i]).any():
             converged = False
         lab = labels_from_curve(curves[i], max_psnrs[i])
         out.append(
@@ -128,17 +139,26 @@ def fit_object_from_metrics(
     metrics_dir: str,
     view_counts: Optional[Sequence[int]] = None,
     label_path: Optional[str] = None,
+    hb: bool = False,
 ) -> LabelResult:
     """Read per-view-count ``<v>.txt`` PSNR files + ``100.txt`` like
     ``Fit_ShapeNet`` (NeRF_fit_curve.cpp:90-116), fit, optionally write
-    ``label.txt``."""
+    ``label.txt``.  ``hb=True`` applies the Fit_HB grid (skip set) and
+    convergence rule."""
     from ..nerf.api import load_metrics
 
     if view_counts is None:
-        view_counts = list(range(3, 51, 2))
+        view_counts = hb_view_counts() if hb else list(range(3, 51, 2))
+    elif hb:
+        view_counts = [v for v in view_counts if v not in HB_SKIP]
     psnrs = [load_metrics(os.path.join(metrics_dir, f"{v}.txt"))["PSNR"] for v in view_counts]
     max_psnr = load_metrics(os.path.join(metrics_dir, "100.txt"))["PSNR"]
-    result = fit_objects(view_counts, np.asarray(psnrs)[None], np.asarray([max_psnr]))[0]
+    result = fit_objects(
+        view_counts,
+        np.asarray(psnrs)[None],
+        np.asarray([max_psnr]),
+        check_samples_below_max=not hb,
+    )[0]
     if label_path:
         write_label_file(label_path, result)
     return result

@@ -75,7 +75,9 @@ def mode_get_size_test(cfg: Config, names: Sequence[str]) -> List[str]:
 
 
 def _coverage_counts(cfg: Config) -> List[int]:
-    counts = list(range(3, cfg.coverage_view_num_max + 1, cfg.coverage_view_num_add))
+    counts = list(
+        range(3, cfg.effective_coverage_max + 1, cfg.effective_coverage_add)
+    )
     counts.append(100)
     return counts
 
@@ -124,8 +126,8 @@ def mode_instant_ngp(
 
 
 def mode_fit_labels(cfg: Config, names: Sequence[str]) -> None:
-    """The OriginPro stage (``Fit_ShapeNet``): batched lognormal fits over all
-    objects' metric files -> per-object label.txt."""
+    """The OriginPro stage (``Fit_ShapeNet``/``Fit_HB``): batched lognormal
+    fits over all objects' metric files -> per-object label.txt."""
     from ..labeling.labels import fit_object_from_metrics
 
     counts = [n for n in _coverage_counts(cfg) if n != 100]
@@ -133,7 +135,9 @@ def mode_fit_labels(cfg: Config, names: Sequence[str]) -> None:
         obj_cfg = cfg.replace(name_of_pcd=name)
         label_path = os.path.join(obj_cfg.gt_path, "label.txt")
         if not os.path.exists(label_path):
-            fit_object_from_metrics(obj_cfg.gt_path, counts, label_path)
+            fit_object_from_metrics(
+                obj_cfg.gt_path, counts, label_path, hb=not cfg.is_shape_net
+            )
 
 
 def mode_read_label(cfg: Config, names: Sequence[str]):
