@@ -27,7 +27,7 @@ def test_timing_registry_and_artifacts(tmp_path):
     assert reg.total("train") >= 0.019
     s = reg.summary()
     assert s["train"]["count"] == 2
-    reg.write_artifact(str(tmp_path), "train_time", "0")
+    reg.write_artifact(str(tmp_path), "train_time", "0", value=reg.total("train"))
     assert float(open(tmp_path / "train_time" / "0.txt").read()) >= 0.019
     reg.dump(str(tmp_path / "timings.json"))
     assert os.path.exists(tmp_path / "timings.json")
