@@ -192,6 +192,8 @@ def train_regression(
     predict = make_eval_step(model, cfg, mesh)
 
     rng = np.random.default_rng(cfg.seed)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    log_path = os.path.join(checkpoint_dir, "log.jsonl")  # ≙ tensorboardX scalars
     for epoch in range(cfg.epochs):
         losses = []
         for views, labels in train_ds.batches(cfg.batch_size, rng=rng):
@@ -200,6 +202,15 @@ def train_regression(
             params, opt_state, loss = step(params, opt_state, views, labels)
             losses.append(float(loss))
         metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
+        import json
+
+        with open(log_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"epoch": epoch, "train_loss": float(np.mean(losses)), **metrics}
+                )
+                + "\n"
+            )
         if epoch % log_every == 0 or epoch == cfg.epochs - 1:
             print(
                 f"epoch {epoch}: loss {np.mean(losses):.4f} "

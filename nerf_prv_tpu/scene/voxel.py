@@ -122,6 +122,50 @@ class VoxelScene:
 from functools import partial
 
 
+def precept(
+    scene: "VoxelScene",
+    cam_to_world: np.ndarray,
+    intr,
+    max_range: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Virtual depth camera: one point per pixel at the first occupied voxel.
+
+    ≙ ``Perception_3D::precept`` (``main.cpp:98-284``): the reference
+    re-projects every GT voxel to a pixel and re-casts a ray per voxel on a
+    20-thread pool; here every pixel's ray marches the dense grid in one
+    jitted call.  Returns (hit mask (H,W), points (H,W,3), colors (H,W,3)).
+    """
+    from ..core.camera import deproject_pixels
+
+    h, w = intr.height, intr.width
+    u, v = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+    px = jnp.asarray(np.stack([u, v], axis=-1).reshape(-1, 2), jnp.float32)
+    d_cam = deproject_pixels(px, jnp.ones(px.shape[0]), intr)
+    c2w = np.asarray(cam_to_world)
+    rot = jnp.asarray(c2w[:3, :3], jnp.float32)
+    origin = jnp.asarray(c2w[:3, 3], jnp.float32)
+    dirs = d_cam @ rot.T
+    origins = jnp.broadcast_to(origin, dirs.shape)
+    hit, pos, colr = scene.cast_rays(origins, dirs, max_range=max_range)
+    return (
+        np.asarray(hit).reshape(h, w),
+        np.asarray(pos).reshape(h, w, 3),
+        np.asarray(colr).reshape(h, w, 3),
+    )
+
+
+def colorize_depth(depth: np.ndarray) -> np.ndarray:
+    """Jet-like depth colormap, (H, W) -> uint8 (H, W, 3)
+    (≙ ``colorize_depth``, Share_Data.hpp)."""
+    d = np.asarray(depth, np.float64)
+    dmax = d.max() if d.max() > 0 else 1.0
+    x = np.clip(d / dmax, 0.0, 1.0)
+    r = np.clip(1.5 - np.abs(4.0 * x - 3.0), 0, 1)
+    g = np.clip(1.5 - np.abs(4.0 * x - 2.0), 0, 1)
+    b = np.clip(1.5 - np.abs(4.0 * x - 1.0), 0, 1)
+    return (np.stack([r, g, b], axis=-1) * 255).astype(np.uint8)
+
+
 @partial(jax.jit, static_argnames=("n_steps",))
 def _cast_rays_grid(occ, col, grid_origin, res, origins, dirs, max_range, n_steps):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
