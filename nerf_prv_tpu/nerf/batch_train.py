@@ -1,0 +1,155 @@
+"""Batched multi-object NeRF training — the dataset-generation scaling axis.
+
+The reference trains one instant-ngp per (object, view count) serially
+through a GPU server; generating the PRV dataset means ~3000 objects x ~25
+view counts of 2500-step trainings (SURVEY.md §7 hard part (e)).  Here K
+objects train *simultaneously*: parameters carry a leading object axis that
+shards over the mesh's ``dp`` dimension, every step ``vmap``s the train step
+across objects, and XLA runs K independent NeRFs per chip cluster with zero
+cross-talk (no collectives needed — the axis is embarrassingly parallel, so
+scaling over ICI is linear).
+
+Datasets may have different frame counts; frames are padded to the max and
+sampling draws from each object's true count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .model import NerfConfig, init_params
+from .rays import RayDataset, rays_from_pixels
+from .render import render_rays
+from .train import make_optimizer
+
+
+def stack_datasets(datasets: Sequence[RayDataset]):
+    """Pad + stack K datasets -> device-ready batched arrays."""
+    max_f = max(ds.n_frames for ds in datasets)
+    h, w = datasets[0].hw
+    k = len(datasets)
+    pixels = np.zeros((k, max_f, h, w, 4), np.uint8)
+    rot = np.zeros((k, max_f, 3, 3), np.float32)
+    org = np.zeros((k, max_f, 3), np.float32)
+    n_frames = np.zeros((k,), np.int32)
+    for i, ds in enumerate(datasets):
+        f = ds.n_frames
+        pixels[i, :f] = np.clip(np.asarray(ds.pixels) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        rot[i, :f] = ds.rotations
+        org[i, :f] = ds.origins
+        rot[i, f:] = np.eye(3)  # harmless padding
+        n_frames[i] = f
+    return pixels, rot, org, n_frames
+
+
+def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key):
+    ks, km, kb, kf, ku, kv = jax.random.split(key, 6)
+    n_rays = cfg.train_rays
+    h, w = pixels_u8.shape[1:3]
+    f = jax.random.randint(kf, (n_rays,), 0, n_frames)
+    ui = jax.random.randint(ku, (n_rays,), 0, w)
+    vi = jax.random.randint(kv, (n_rays,), 0, h)
+    flat = pixels_u8.reshape(-1, 4)
+    rgba = flat[(f * h + vi) * w + ui].astype(jnp.float32) / 255.0
+    bg = jax.random.uniform(kb, (n_rays, 3))
+    target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    rgb, acc = render_rays(params, o, d, cfg, key=km)
+    rgb = rgb + bg * (1.0 - acc[:, None])
+    err = rgb - target
+    delta = cfg.huber_delta
+    abs_err = jnp.abs(err)
+    huber = jnp.where(abs_err <= delta, 0.5 * err * err, delta * (abs_err - 0.5 * delta))
+    return jnp.mean(huber)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("camera", "cfg", "n_steps"),
+    donate_argnums=(0, 1),
+)
+def _train_chunk_batched(
+    params, opt_state, key, pixels_u8, rot, org, n_frames, camera, cfg, n_steps
+):
+    opt = make_optimizer(cfg)
+
+    def one_object_step(p, s, px, r, o, nf, key):
+        loss, grads = jax.value_and_grad(_member_loss)(p, px, r, o, nf, camera, cfg, key)
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    def step(carry, key):
+        p, s = carry
+        k = pixels_u8.shape[0]
+        keys = jax.random.split(key, k)
+        p, s, loss = jax.vmap(one_object_step)(p, s, pixels_u8, rot, org, n_frames, keys)
+        return (p, s), loss
+
+    keys = jax.random.split(key, n_steps)
+    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+    return params, opt_state, losses  # losses (steps, K)
+
+
+def train_batch(
+    datasets: Sequence[RayDataset],
+    cfg: Optional[NerfConfig] = None,
+    seed: int = 0,
+    mesh=None,
+    chunk_steps: int = 500,
+) -> Tuple[dict, np.ndarray]:
+    """Train K NeRFs at once; returns (params with leading K axis,
+    per-object per-step losses (steps, K)).
+
+    With a mesh, the object axis shards over ``dp`` — pad K to a multiple of
+    the mesh size for an even split.
+    """
+    cfg = cfg or NerfConfig()
+    if cfg.n_steps <= chunk_steps:
+        chunk_steps = cfg.n_steps
+    k = len(datasets)
+    camera = datasets[0].camera
+    pixels, rot, org, n_frames = stack_datasets(datasets)
+
+    key = jax.random.PRNGKey(seed)
+    key, kinit = jax.random.split(key)
+    params = jax.vmap(lambda kk: init_params(kk, cfg))(jax.random.split(kinit, k))
+    opt = make_optimizer(cfg)
+    opt_state = jax.vmap(opt.init)(params)
+
+    if mesh is not None:
+        obj_sh = batch_sharding(mesh)
+        params = jax.tree.map(lambda x: jax.device_put(x, obj_sh), params)
+        opt_state = jax.tree.map(lambda x: jax.device_put(x, obj_sh), opt_state)
+        pixels = jax.device_put(jnp.asarray(pixels), obj_sh)
+        rot = jax.device_put(jnp.asarray(rot), obj_sh)
+        org = jax.device_put(jnp.asarray(org), obj_sh)
+        n_frames = jax.device_put(jnp.asarray(n_frames), obj_sh)
+    else:
+        pixels = jnp.asarray(pixels)
+        rot = jnp.asarray(rot)
+        org = jnp.asarray(org)
+        n_frames = jnp.asarray(n_frames)
+
+    all_losses = []
+    steps_left = cfg.n_steps
+    while steps_left > 0:
+        n = min(chunk_steps, steps_left)
+        key, kc = jax.random.split(key)
+        params, opt_state, losses = _train_chunk_batched(
+            params, opt_state, kc, pixels, rot, org, n_frames, camera, cfg, n
+        )
+        all_losses.append(np.asarray(losses))
+        steps_left -= n
+    return params, np.concatenate(all_losses, axis=0)
+
+
+def slice_params(batched_params, i: int):
+    """Extract object i's parameter tree from a batched train."""
+    return jax.tree.map(lambda x: x[i], batched_params)

@@ -97,15 +97,24 @@ def mode_get_coverage(cfg: Config, names: Sequence[str]) -> None:
 
 
 def mode_instant_ngp(
-    cfg: Config, names: Sequence[str], nerf_cfg: Optional[NerfConfig] = None
+    cfg: Config,
+    names: Sequence[str],
+    nerf_cfg: Optional[NerfConfig] = None,
+    batch_size: int = 1,
 ) -> None:
     """Mode 4 (≙ main.cpp:2463-2489): per-view-count NeRF train + eval vs the
-    100-view set, writing ``<v>.txt`` metric files (idempotent)."""
-    from ..nerf.api import run
+    100-view set, writing ``<v>.txt`` metric files (idempotent).
+
+    ``batch_size > 1`` trains that many (object, view-count) NeRFs
+    *simultaneously* via the batched object axis (sharded over the mesh's
+    ``dp`` dimension) — the reference runs these serially through one GPU.
+    """
+    from ..nerf.api import eval_nerf, run, save_metrics
     from ..scene.object_setup import load_object
     from .coverage import get_coverage
 
     nerf_cfg = nerf_cfg or NerfConfig(n_steps=cfg.n_steps)
+    jobs = []  # (train_json, test_json, metrics_file)
     for name in names:
         obj_cfg = cfg.replace(name_of_pcd=name)
         scene = load_object(obj_cfg, name)
@@ -116,13 +125,28 @@ def mode_instant_ngp(
             metrics_file = os.path.join(obj_cfg.gt_path, f"{n}.txt")
             if os.path.exists(metrics_file):
                 continue
-            train_json = get_coverage(scene, obj_cfg, n)
+            jobs.append((get_coverage(scene, obj_cfg, n), test_json, metrics_file))
+
+    if batch_size <= 1:
+        for train_json, test_json, metrics_file in jobs:
             run(
                 train_json,
                 test_transforms=test_json,
                 save_metrics_path=metrics_file,
                 cfg=nerf_cfg,
             )
+        return
+
+    from ..nerf.batch_train import slice_params, train_batch
+    from ..nerf.rays import load_dataset
+
+    for start in range(0, len(jobs), batch_size):
+        group = jobs[start : start + batch_size]
+        datasets = [load_dataset(j[0]) for j in group]
+        params, _ = train_batch(datasets, nerf_cfg)
+        for i, (_, test_json, metrics_file) in enumerate(group):
+            metrics = eval_nerf(slice_params(params, i), test_json, nerf_cfg)
+            save_metrics(metrics_file, metrics)
 
 
 def mode_fit_labels(cfg: Config, names: Sequence[str]) -> None:
