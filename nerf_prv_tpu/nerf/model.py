@@ -31,6 +31,9 @@ class NerfConfig:
     # bounded by HBM temp usage of the XLA gather path — the Pallas fused
     # encode raises this)
     n_samples: int = 96
+    # hierarchical sampling: when > 0, n_samples become a density-only coarse
+    # pass and n_importance full-field samples are drawn from its CDF
+    n_importance: int = 0
     # training
     train_rays: int = 4096
     n_steps: int = 2500

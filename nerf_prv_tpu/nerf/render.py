@@ -22,36 +22,10 @@ from .rays import ray_aabb, ray_sphere
 MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
 
 
-def render_rays(
-    params,
-    origins: jnp.ndarray,
-    dirs: jnp.ndarray,
-    cfg: NerfConfig,
-    key: Optional[jax.Array] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """March rays through the unit cube; returns (rgb (N,3), alpha (N,)).
-
-    Stratified jitter when ``key`` is given (training); midpoint samples
-    otherwise (eval/screenshots — deterministic, spp-free analytic
-    compositing instead of the reference's 8-spp averaging, run.py:232).
-    """
-    n, ns = origins.shape[0], cfg.n_samples
-    if cfg.bound == "sphere":
-        tmin, tmax, valid = ray_sphere(origins, dirs)
-    else:
-        tmin, tmax, valid = ray_aabb(origins, dirs)
-    span = (tmax - tmin) / ns
-    base = jnp.arange(ns, dtype=jnp.float32)[None, :]
-    if key is not None:
-        jitter = jax.random.uniform(key, (n, ns))
-    else:
-        jitter = 0.5
-    ts = tmin[:, None] + (base + jitter) * span[:, None]
-    pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # (N, S, 3)
-    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
-
+def _eval_field(params, pos, dirs_b, cfg):
+    n, ns = pos.shape[:2]
     flat_pos = pos.reshape(n * ns, 3)
-    flat_dirs = jnp.broadcast_to(dirs[:, None, :], (n, ns, 3)).reshape(n * ns, 3)
+    flat_dirs = jnp.broadcast_to(dirs_b[:, None, :], (n, ns, 3)).reshape(n * ns, 3)
     if cfg.field_impl == "hash":
         # remat the hash field: recompute gathers + MLPs in the backward pass
         # instead of keeping per-level gather intermediates live in HBM —
@@ -63,16 +37,111 @@ def render_rays(
         # the voxel field's activations are small; remat would only re-pay
         # the gather latency
         sigma, rgb = field(params, flat_pos, flat_dirs, cfg)
-    sigma = sigma.reshape(n, ns) * valid[:, None]
-    rgb = rgb.reshape(n, ns, 3)
+    return sigma.reshape(n, ns), rgb.reshape(n, ns, 3)
 
-    alpha = 1.0 - jnp.exp(-sigma * span[:, None])
+
+def _composite(sigma, rgb, deltas):
+    n = sigma.shape[0]
+    alpha = 1.0 - jnp.exp(-sigma * deltas)
     trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
     trans = jnp.concatenate([jnp.ones((n, 1)), trans[:, :-1]], axis=-1)
     # transmittance cutoff ≙ ngp's early ray termination
     weights = jnp.where(trans > MIN_TRANSMITTANCE, trans * alpha, 0.0)
     out_rgb = jnp.sum(weights[..., None] * rgb, axis=1)
     out_alpha = jnp.sum(weights, axis=1)
+    return out_rgb, out_alpha, weights
+
+
+def _coarse_density(params, pos, cfg):
+    from .model import density
+
+    n, ns = pos.shape[:2]
+    return density(params, pos.reshape(n * ns, 3), cfg).reshape(n, ns)
+
+
+def _sample_cdf(ts, weights, n_fine, key):
+    """Inverse-CDF sampling of fine ts from coarse weights (jaxnerf-style).
+
+    ``ts`` (N, S) ascending coarse sample positions define S-1 bins; bin mass
+    is the mean of its endpoint weights.
+    """
+    n, s = weights.shape
+    w = 0.5 * (weights[:, :-1] + weights[:, 1:]) + 1e-5  # (N, S-1)
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = cdf / cdf[:, -1:]
+    cdf = jnp.concatenate([jnp.zeros((n, 1)), cdf], axis=-1)  # (N, S)
+    if key is not None:
+        u = jnp.sort(jax.random.uniform(key, (n, n_fine)), axis=-1)
+    else:
+        u = jnp.broadcast_to(
+            (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine, (n, n_fine)
+        )
+    idx = jnp.clip(
+        jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u) - 1, 0, s - 2
+    )
+    c0 = jnp.take_along_axis(cdf, idx, axis=1)
+    c1 = jnp.take_along_axis(cdf, idx + 1, axis=1)
+    t0 = jnp.take_along_axis(ts, idx, axis=1)
+    t1 = jnp.take_along_axis(ts, idx + 1, axis=1)
+    frac = jnp.clip((u - c0) / jnp.maximum(c1 - c0, 1e-8), 0.0, 1.0)
+    return t0 + (t1 - t0) * frac
+
+
+def render_rays(
+    params,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    cfg: NerfConfig,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """March rays through the bounded volume; returns (rgb (N,3), alpha (N,)).
+
+    Stratified jitter when ``key`` is given (training); midpoint samples
+    otherwise (eval/screenshots — deterministic, spp-free analytic
+    compositing instead of the reference's 8-spp averaging, run.py:232).
+    With ``cfg.n_importance > 0`` the n_samples pass is density-only and the
+    full field evaluates at importance-resampled points.
+    """
+    n, ns = origins.shape[0], cfg.n_samples
+    if cfg.bound == "sphere":
+        tmin, tmax, valid = ray_sphere(origins, dirs)
+    else:
+        tmin, tmax, valid = ray_aabb(origins, dirs)
+    span = (tmax - tmin) / ns
+    base = jnp.arange(ns, dtype=jnp.float32)[None, :]
+    if key is not None:
+        key, kj = jax.random.split(key)
+        jitter = jax.random.uniform(kj, (n, ns))
+    else:
+        jitter = 0.5
+    ts = tmin[:, None] + (base + jitter) * span[:, None]
+    pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # (N, S, 3)
+    pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+
+    if cfg.n_importance > 0:
+        sigma_c = _coarse_density(params, pos, cfg) * valid[:, None]
+        alpha_c = 1.0 - jnp.exp(-sigma_c * span[:, None])
+        trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+        trans_c = jnp.concatenate([jnp.ones((n, 1)), trans_c[:, :-1]], axis=-1)
+        w_c = trans_c * alpha_c
+        kf = None
+        if key is not None:
+            key, kf = jax.random.split(key)
+        t_fine = _sample_cdf(ts, jax.lax.stop_gradient(w_c), cfg.n_importance, kf)
+        t_fine = jnp.sort(t_fine, axis=-1)
+        pos_f = origins[:, None, :] + dirs[:, None, :] * t_fine[..., None]
+        pos_f = jnp.clip(pos_f, 0.0, 1.0 - 1e-6)
+        sigma, rgb = _eval_field(params, pos_f, dirs, cfg)
+        sigma = sigma * valid[:, None]
+        deltas = jnp.diff(
+            t_fine, axis=-1, append=t_fine[:, -1:] + span[:, None]
+        )
+        out_rgb, out_alpha, _ = _composite(sigma, rgb, deltas)
+        return out_rgb, out_alpha
+
+    sigma, rgb = _eval_field(params, pos, dirs, cfg)
+    sigma = sigma * valid[:, None]
+    out_rgb, out_alpha, _ = _composite(sigma, rgb, jnp.broadcast_to(span[:, None], sigma.shape))
     return out_rgb, out_alpha
 
 

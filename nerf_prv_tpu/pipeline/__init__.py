@@ -5,6 +5,8 @@ from .nbv import (
     NBVRunner,
     ensemble_uncertainty_rgb,
     ensemble_uncertainty_rgb_density,
+    score_candidates_rgb,
+    score_candidates_rgb_density,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "NBVRunner",
     "ensemble_uncertainty_rgb",
     "ensemble_uncertainty_rgb_density",
+    "score_candidates_rgb",
+    "score_candidates_rgb_density",
 ]

@@ -25,6 +25,8 @@ import os
 import time
 from typing import Dict, List, Optional, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Config
@@ -51,18 +53,38 @@ def ensemble_uncertainty_rgb(images: np.ndarray) -> float:
 
     ``images``: (E, H, W, 4) uint8 ensemble renders of one candidate view.
     """
-    rgb = images[..., :3].astype(np.float64)
-    var = rgb.var(axis=0)  # (H, W, 3) population variance, ≙ /ensemble_num
-    return float(np.where(var > 1e-10, np.log(np.maximum(var, 1e-10)), 0.0).sum())
+    return float(score_candidates_rgb(np.asarray(images)[None])[0])
 
 
 def ensemble_uncertainty_rgb_density(images: np.ndarray) -> float:
     """Mean RGB variance + (1 - mean density)^2 per pixel
     (≙ main.cpp:2112-2149)."""
-    rgb = images[..., :3].astype(np.float64)
-    var = rgb.var(axis=0).mean(axis=-1)  # (H, W)
-    density = (images[..., 3].astype(np.float64) / 255.0).mean(axis=0)
-    return float((var + (1.0 - density) ** 2).sum())
+    return float(score_candidates_rgb_density(np.asarray(images)[None])[0])
+
+
+@jax.jit
+def score_candidates_rgb(images) -> jnp.ndarray:
+    """Batched EnsembleRGB uncertainty: (V, E, H, W, 4) uint8 -> (V,).
+
+    The reference loops pixels per candidate per ensemble member on the CPU
+    (921,600 px x views x members, main.cpp:2054-2086); here the whole
+    candidate set scores in one fused device program.
+    """
+    rgb = images[..., :3].astype(jnp.float32)
+    var = jnp.var(rgb, axis=1)  # (V, H, W, 3), population variance
+    return jnp.sum(
+        jnp.where(var > 1e-10, jnp.log(jnp.maximum(var, 1e-10)), 0.0),
+        axis=(1, 2, 3),
+    )
+
+
+@jax.jit
+def score_candidates_rgb_density(images) -> jnp.ndarray:
+    """Batched EnsembleRGBDensity uncertainty: (V, E, H, W, 4) -> (V,)."""
+    rgb = images[..., :3].astype(jnp.float32)
+    var = jnp.var(rgb, axis=1).mean(axis=-1)  # (V, H, W)
+    density = (images[..., 3].astype(jnp.float32) / 255.0).mean(axis=1)
+    return jnp.sum(var + (1.0 - density) ** 2, axis=(1, 2))
 
 
 class NBVRunner:
@@ -308,25 +330,27 @@ class NBVRunner:
                 dirs.append(self._train_screenshot(save_path, str(iteration), e, seed=e))
             from PIL import Image
 
+            candidates = [i for i in range(n_views) if i not in chosen_set]
+            imgs = np.stack(
+                [
+                    np.stack(
+                        [
+                            np.asarray(
+                                Image.open(
+                                    os.path.join(d, f"rgbaClip_{i}.png")
+                                ).convert("RGBA")
+                            )
+                            for d in dirs
+                        ]
+                    )
+                    for i in candidates
+                ]
+            )  # (V, E, H, W, 4)
             score_fn = (
-                ensemble_uncertainty_rgb if method == 2 else ensemble_uncertainty_rgb_density
+                score_candidates_rgb if method == 2 else score_candidates_rgb_density
             )
-            best_id, best_u = -1, -np.inf
-            for i in range(n_views):
-                if i in chosen_set:
-                    continue
-                imgs = np.stack(
-                    [
-                        np.asarray(
-                            Image.open(os.path.join(d, f"rgbaClip_{i}.png")).convert("RGBA")
-                        )
-                        for d in dirs
-                    ]
-                )
-                u = score_fn(imgs)
-                if u > best_u:
-                    best_u, best_id = u, i
-            return best_id
+            scores = np.asarray(score_fn(jnp.asarray(imgs)))
+            return candidates[int(np.argmax(scores))]
 
         if method == 4:  # PVBCoverage — ours
             if oneshot:
