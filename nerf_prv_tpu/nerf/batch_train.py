@@ -52,15 +52,25 @@ def stack_datasets(datasets: Sequence[RayDataset]):
 def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key):
     ks, km, kb, kf, ku, kv = jax.random.split(key, 6)
     n_rays = cfg.train_rays
+    oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
+    n_cand = n_rays * max(oversample, 1)
     h, w = pixels_u8.shape[1:3]
-    f = jax.random.randint(kf, (n_rays,), 0, n_frames)
-    ui = jax.random.randint(ku, (n_rays,), 0, w)
-    vi = jax.random.randint(kv, (n_rays,), 0, h)
+    f = jax.random.randint(kf, (n_cand,), 0, n_frames)
+    ui = jax.random.randint(ku, (n_cand,), 0, w)
+    vi = jax.random.randint(kv, (n_cand,), 0, h)
+    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    if oversample > 1:
+        # hit-ray compaction (see train._sample_batch)
+        from .rays import ray_sphere
+
+        _, _, valid = ray_sphere(o, d)
+        order = jnp.argsort(~valid)[:n_rays]
+        f, ui, vi = f[order], ui[order], vi[order]
+        o, d = o[order], d[order]
     flat = pixels_u8.reshape(-1, 4)
     rgba = flat[(f * h + vi) * w + ui].astype(jnp.float32) / 255.0
     bg = jax.random.uniform(kb, (n_rays, 3))
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
-    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
     rgb, acc = render_rays(params, o, d, cfg, key=km)
     rgb = rgb + bg * (1.0 - acc[:, None])
     err = rgb - target

@@ -53,8 +53,15 @@ def ssim(img, ref, size: int = 11, sigma: float = 1.5, c1: float = 0.01**2, c2: 
         x = jnp.moveaxis(x, -1, 0)[:, None]  # (C, 1, H, W)
         kh = k.reshape(1, 1, -1, 1)
         kw = k.reshape(1, 1, 1, -1)
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
-        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        # HIGHEST precision: the default bf16 MXU path makes the
+        # variance cancellation blur(x^2) - mu^2 wrong by ~4e-3, far above
+        # c2 = 9e-4 — observed as SSIM > 1 on TPU
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+        )
+        x = jax.lax.conv_general_dilated(
+            x, kw, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+        )
         return jnp.moveaxis(x[:, 0], 0, -1)
 
     mu_x = blur(img)

@@ -31,11 +31,20 @@ class NerfConfig:
     # bounded by HBM temp usage of the XLA gather path — the Pallas fused
     # encode raises this)
     n_samples: int = 96
-    # hierarchical sampling: when > 0, n_samples become a density-only coarse
-    # pass and n_importance full-field samples are drawn from its CDF
+    # hierarchical sampling (training only): when > 0, n_samples become a
+    # density-only coarse pass and n_importance full-field samples are drawn
+    # from its CDF; deterministic renders use a flat render_n_samples march
     n_importance: int = 0
+    render_n_samples: int = 96
+    # deterministic-render interval tightening: when > 0, probe density at
+    # this many midpoints first and march render_n_samples inside the
+    # occupied [t_lo, t_hi] interval only (render.py render_rays)
+    render_coarse: int = 0
     # training
     train_rays: int = 4096
+    # sample this multiple of train_rays candidate pixels per step and keep
+    # the bounding-sphere hits (1 = disabled); see train._sample_batch
+    train_hit_oversample: int = 4
     n_steps: int = 2500
     lr: float = 1e-2
     weight_decay: float = 1e-6
@@ -53,6 +62,9 @@ class NerfConfig:
     voxel_grid_size: int = 40
     voxel_features: int = 8
     voxel_pe_freqs: int = 4
+    # grid-gradient implementation: "xla" (native duplicate-index
+    # scatter-add) or "sorted" (sort + segmented-sum + unique scatter)
+    voxel_grad_impl: str = "xla"
     # ray bound: "sphere" clips sampling to the object's bounding sphere
     # (tight by the transforms.json scale convention); "cube" = unit AABB
     bound: str = "sphere"

@@ -71,13 +71,19 @@ def _sample_cdf(ts, weights, n_fine, key):
     cdf = cdf / cdf[:, -1:]
     cdf = jnp.concatenate([jnp.zeros((n, 1)), cdf], axis=-1)  # (N, S)
     if key is not None:
-        u = jnp.sort(jax.random.uniform(key, (n, n_fine)), axis=-1)
+        # no need to pre-sort u: the caller sorts the resulting t_fine
+        u = jax.random.uniform(key, (n, n_fine))
     else:
         u = jnp.broadcast_to(
             (jnp.arange(n_fine, dtype=jnp.float32) + 0.5) / n_fine, (n, n_fine)
         )
+    # branchless searchsorted: count cdf entries <= u with one (N, F, S)
+    # comparison reduce — vmapped binary search lowers to serial while-loops
+    # on TPU and costs ~10 ms/step; this is a trivial VPU reduction
     idx = jnp.clip(
-        jax.vmap(partial(jnp.searchsorted, side="right"))(cdf, u) - 1, 0, s - 2
+        jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32) - 1,
+        0,
+        s - 2,
     )
     c0 = jnp.take_along_axis(cdf, idx, axis=1)
     c1 = jnp.take_along_axis(cdf, idx + 1, axis=1)
@@ -99,10 +105,16 @@ def render_rays(
     Stratified jitter when ``key`` is given (training); midpoint samples
     otherwise (eval/screenshots — deterministic, spp-free analytic
     compositing instead of the reference's 8-spp averaging, run.py:232).
-    With ``cfg.n_importance > 0`` the n_samples pass is density-only and the
-    full field evaluates at importance-resampled points.
+    With ``cfg.n_importance > 0`` *training* runs a density-only coarse pass
+    and evaluates the full field at importance-resampled points; deterministic
+    renders always use a flat ``cfg.render_n_samples`` march — importance
+    machinery (CDF + per-ray sorts) costs more than it saves when there is
+    no backward scatter to shrink (measured: flat-96 2.6 Mrays/s vs
+    importance 1.3 Mrays/s at 1280x720 on v5e).
     """
-    n, ns = origins.shape[0], cfg.n_samples
+    training = key is not None
+    n = origins.shape[0]
+    ns = cfg.n_samples if training else (cfg.render_n_samples or cfg.n_samples)
     if cfg.bound == "sphere":
         tmin, tmax, valid = ray_sphere(origins, dirs)
     else:
@@ -118,7 +130,35 @@ def render_rays(
     pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # (N, S, 3)
     pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
 
-    if cfg.n_importance > 0:
+    if not training and cfg.render_coarse > 0:
+        # interval-tightened two-pass render: a cheap density probe at
+        # render_coarse midpoints bounds the occupied t-interval, then the
+        # flat march concentrates every render sample inside it.  No CDFs,
+        # no per-ray sorts — just reductions, so unlike hierarchical
+        # sampling this is profitable in the forward-only path.
+        nc = cfg.render_coarse
+        base_c = (jnp.arange(nc, dtype=jnp.float32)[None, :] + 0.5) / nc
+        span_c = tmax - tmin
+        ts_c = tmin[:, None] + base_c * span_c[:, None]
+        pos_c = origins[:, None, :] + dirs[:, None, :] * ts_c[..., None]
+        pos_c = jnp.clip(pos_c, 0.0, 1.0 - 1e-6)
+        sigma_c = _coarse_density(params, pos_c, cfg) * valid[:, None]
+        alpha_c = 1.0 - jnp.exp(-sigma_c * (span_c[:, None] / nc))
+        occ = alpha_c > 1e-3
+        any_occ = jnp.any(occ, axis=-1)
+        first = jnp.argmax(occ, axis=-1)
+        last = nc - 1 - jnp.argmax(occ[:, ::-1], axis=-1)
+        # one-coarse-cell margin on both sides
+        lo = jnp.maximum(first - 1, 0).astype(jnp.float32) / nc
+        hi = jnp.minimum(last + 2, nc).astype(jnp.float32) / nc
+        tmin, tmax = tmin + lo * span_c, tmin + hi * span_c
+        valid = valid & any_occ
+        span = (tmax - tmin) / ns
+        ts = tmin[:, None] + (base + jitter) * span[:, None]
+        pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+        pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)
+
+    if cfg.n_importance > 0 and training:
         sigma_c = _coarse_density(params, pos, cfg) * valid[:, None]
         alpha_c = 1.0 - jnp.exp(-sigma_c * span[:, None])
         trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
@@ -241,9 +281,19 @@ def render_views(
 
 @jax.jit
 def _hit_order(origins, dirs):
+    # stable partition (hits first) without a multi-million-element sort:
+    # two cumsums give each ray its destination slot, one unique-index
+    # scatter of iota inverts that into a gather permutation
     _, _, valid = ray_sphere(origins, dirs)
-    order = jnp.argsort(~valid)  # hits first, stable
-    return order, jnp.sum(valid)
+    n = valid.shape[0]
+    n_hit = jnp.sum(valid)
+    pos_hit = jnp.cumsum(valid) - 1
+    pos_miss = n_hit + jnp.cumsum(~valid) - 1
+    pos = jnp.where(valid, pos_hit, pos_miss).astype(jnp.int32)
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    )
+    return order, n_hit
 
 
 @partial(jax.jit, static_argnames=("n",))

@@ -34,34 +34,52 @@ def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
     )
 
 
-def _sample_batch(key, pixels_u8, rot, org, camera, n_rays):
+def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_frames=None):
     kf, ku, kv, kb = jax.random.split(key, 4)
     n_f, h, w = pixels_u8.shape[:3]
-    f = jax.random.randint(kf, (n_rays,), 0, n_f)
-    ui = jax.random.randint(ku, (n_rays,), 0, w)
-    vi = jax.random.randint(kv, (n_rays,), 0, h)
+    n_cand = n_rays * max(oversample, 1)
+    # n_frames may be a traced scalar < n_f: the frame axis is padded to a
+    # bucket size so that every view count in a label sweep (3,5,...,100
+    # coverage views) reuses one compiled program instead of paying the
+    # ~25 s remote compile per distinct shape
+    f = jax.random.randint(kf, (n_cand,), 0, n_f if n_frames is None else n_frames)
+    ui = jax.random.randint(ku, (n_cand,), 0, w)
+    vi = jax.random.randint(kv, (n_cand,), 0, h)
+    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    if oversample > 1:
+        # hit-ray compaction: rays missing the bounding sphere have their
+        # density masked to zero downstream, so their field evals and the
+        # backward scatter are pure waste (object pixel rates run 3-30%,
+        # DefaultConfiguration.yaml object_pixel_rate).  Oversample pixels,
+        # keep sphere hits — every marched ray carries gradient signal.
+        from .rays import ray_sphere
+
+        _, _, valid = ray_sphere(o, d)
+        order = jnp.argsort(~valid)[:n_rays]  # hits first, stable
+        f, ui, vi = f[order], ui[order], vi[order]
+        o, d = o[order], d[order]
     # single-axis flat gather: multi-axis advanced indexing lowers to a slow
     # multi-dim scatter/gather on TPU
     flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
     rgba = flat[(f * h + vi) * w + ui].astype(jnp.float32) / 255.0
-    u = ui.astype(jnp.float32)
-    v = vi.astype(jnp.float32)
     # random background color per ray (≙ ngp random_bg_color): supervises
     # opacity through the known alpha channel instead of leaving empty-space
     # density unconstrained on the black eval background
     bg = jax.random.uniform(kb, (n_rays, 3))
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
-    o, d = rays_from_pixels(rot, org, camera, f, u, v)
     return o, d, target, bg
 
 
 @partial(jax.jit, static_argnames=("cfg", "camera", "n_steps"), donate_argnums=(0, 1))
-def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int):
+def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int, n_frames=None):
     opt = make_optimizer(cfg)
 
     def loss_fn(p, key):
         ks, km = jax.random.split(key)
-        o, d, target, bg = _sample_batch(ks, pixels_u8, rot, org, camera, cfg.train_rays)
+        oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
+        o, d, target, bg = _sample_batch(
+            ks, pixels_u8, rot, org, camera, cfg.train_rays, oversample, n_frames
+        )
         rgb, acc = render_rays(p, o, d, cfg, key=km)
         rgb = rgb + bg * (1.0 - acc[:, None])
         err = rgb - target
@@ -99,11 +117,26 @@ def train(
     params = init_params(kinit, cfg)
     opt_state = make_optimizer(cfg).init(params)
 
-    pixels_u8 = jnp.asarray(
-        np.clip(np.asarray(dataset.pixels) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    )
-    rot = jnp.asarray(dataset.rotations)
-    org = jnp.asarray(dataset.origins)
+    pixels_np = np.clip(
+        np.asarray(dataset.pixels) * 255.0 + 0.5, 0, 255
+    ).astype(np.uint8)
+    rot_np = np.asarray(dataset.rotations, np.float32)
+    org_np = np.asarray(dataset.origins, np.float32)
+
+    # pad the frame axis to a bucket size so every coverage view count in a
+    # label sweep shares one compiled train program (≙ per-shape remote
+    # compiles would otherwise dominate mode-4 wall time)
+    n_real = pixels_np.shape[0]
+    bucket = _frame_bucket(n_real)
+    if bucket > n_real:
+        pad = bucket - n_real
+        pixels_np = np.concatenate([pixels_np, np.zeros((pad,) + pixels_np.shape[1:], np.uint8)])
+        rot_np = np.concatenate([rot_np, np.tile(np.eye(3, dtype=np.float32)[None], (pad, 1, 1))])
+        org_np = np.concatenate([org_np, np.zeros((pad, 3), np.float32)])
+    pixels_u8 = jnp.asarray(pixels_np)
+    rot = jnp.asarray(rot_np)
+    org = jnp.asarray(org_np)
+    n_frames = jnp.int32(n_real)
 
     losses = []
     steps_left = cfg.n_steps
@@ -111,8 +144,15 @@ def train(
         n = min(chunk_steps, steps_left)
         key, kc = jax.random.split(key)
         params, opt_state, chunk_losses = train_chunk(
-            params, opt_state, kc, pixels_u8, rot, org, dataset.camera, cfg, n
+            params, opt_state, kc, pixels_u8, rot, org, dataset.camera, cfg, n, n_frames
         )
         losses.append(np.asarray(chunk_losses))
         steps_left -= n
     return params, np.concatenate(losses) if losses else np.zeros(0)
+
+
+def _frame_bucket(n: int) -> int:
+    for b in (4, 8, 16, 32, 64, 128):
+        if n <= b:
+            return b
+    return n

@@ -18,11 +18,37 @@ weights.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_rows_sorted(grid: jnp.ndarray, row_idx: jnp.ndarray, n_rows: int):
+    """Row gather whose VJP uses the sort-based unique scatter.
+
+    The natural VJP is a duplicate-index scatter-add (~6 in-flight samples
+    per cell at production batch sizes) which serializes on TPU and is the
+    single largest cost of a train step; the sorted backward reorganizes it
+    into sort + segmented sums + a provably-unique scatter.
+    """
+    return grid[row_idx]
+
+
+def _gr_fwd(grid, row_idx, n_rows):
+    return grid[row_idx], row_idx
+
+
+def _gr_bwd(n_rows, row_idx, g):
+    from ..ops.sorted_grad import segmented_scatter_add
+
+    return segmented_scatter_add(row_idx, g, n_rows), None
+
+
+_gather_rows_sorted.defvjp(_gr_fwd, _gr_bwd)
 
 
 def pe_encode(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
@@ -66,7 +92,10 @@ def _blend(params, x, cfg):
     cell = jnp.floor(pos).astype(jnp.int32)
     frac = pos - cell
     row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
-    rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
+    if cfg.voxel_grad_impl == "sorted":
+        rows = _gather_rows_sorted(params["grid"], row_idx, g * g * g)
+    else:
+        rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
     # blend as 8 flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would
     # tile onto the (8, 128) registers with heavy padding
     fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
