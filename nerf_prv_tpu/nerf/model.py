@@ -35,11 +35,15 @@ class NerfConfig:
     # density-only coarse pass and n_importance full-field samples are drawn
     # from its CDF; deterministic renders use a flat render_n_samples march
     n_importance: int = 0
-    render_n_samples: int = 96
+    render_n_samples: int = 48
     # deterministic-render interval tightening: when > 0, probe density at
     # this many midpoints first and march render_n_samples inside the
-    # occupied [t_lo, t_hi] interval only (render.py render_rays)
-    render_coarse: int = 0
+    # occupied [t_lo, t_hi] interval only (render.py render_rays).
+    # Defaults measured on v5e (trained flagship, 1280x720): flat-96
+    # 2.62 Mrays/s / 35.29 dB vs 24+48 3.20 Mrays/s / 35.34 dB.  24 probes
+    # keep the probe spacing under a single voxel's trilinear support so
+    # one-voxel-thin structures cannot fall between probes (16 would not).
+    render_coarse: int = 24
     # training
     train_rays: int = 4096
     # sample this multiple of train_rays candidate pixels per step and keep
