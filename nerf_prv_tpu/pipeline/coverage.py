@@ -25,7 +25,11 @@ from ..core.pose import camera_to_world
 from ..core.transforms import add_frame, make_root, write_transforms
 from ..scene.object_setup import ObjectScene, load_object, _ensure_viewspace
 from ..scene.ply import load_ply, save_ply_ascii
-from ..scene.render import render_pointcloud, rgba_from_render
+from ..scene.render import (
+    render_pointcloud,
+    render_pointcloud_views,
+    rgba_from_render,
+)
 from ..viewspace.hemisphere import ViewSpace
 
 # ShapeNet synset id -> readable class name (≙ main.cpp:3467-3487)
@@ -88,10 +92,17 @@ def get_coverage(
     )
     sub = os.path.join(gt_path, str(n_views))
     rel = file_prefix if file_prefix is not None else str(n_views)
-    for i, v in enumerate(vs.views):
-        png = os.path.join(sub, f"rgbaClip_{i}.png")
-        c2w = render_view_to_png(scene, v, cfg, png)
-        add_frame(root, f"{rel}/rgbaClip_{i}.png", c2w)
+    c2ws = camera_to_world(np.asarray(vs.views), scene.object_center)
+    rgbas = render_pointcloud_views(
+        scene.points, scene.colors, c2ws, cfg.camera,
+        point_size=cfg.points_size_cloud,
+    )
+    os.makedirs(sub, exist_ok=True)
+    for i in range(len(vs.views)):
+        Image.fromarray(rgbas[i], "RGBA").save(
+            os.path.join(sub, f"rgbaClip_{i}.png")
+        )
+        add_frame(root, f"{rel}/rgbaClip_{i}.png", c2ws[i])
     write_transforms(json_path, root)
     return json_path
 
@@ -125,11 +136,20 @@ def generate_novel_sets(scene: ObjectScene, cfg: Config) -> List[str]:
             scene.object_center,
         )
         sub = os.path.join(cfg.gt_path, name)
-        for i, v in enumerate(views):
-            pos = v / np.linalg.norm(v) * cfg.view_space_radius + scene.object_center
-            png = os.path.join(sub, f"rgbaClip_{i}.png")
-            c2w = render_view_to_png(scene, pos, cfg, png)
-            add_frame(root, f"{name}/rgbaClip_{i}.png", c2w)
+        pos = (
+            views / np.linalg.norm(views, axis=1, keepdims=True)
+        ) * cfg.view_space_radius + scene.object_center
+        c2ws = camera_to_world(pos, scene.object_center)
+        rgbas = render_pointcloud_views(
+            scene.points, scene.colors, c2ws, cfg.camera,
+            point_size=cfg.points_size_cloud,
+        )
+        os.makedirs(sub, exist_ok=True)
+        for i in range(len(views)):
+            Image.fromarray(rgbas[i], "RGBA").save(
+                os.path.join(sub, f"rgbaClip_{i}.png")
+            )
+            add_frame(root, f"{name}/rgbaClip_{i}.png", c2ws[i])
         json_path = os.path.join(cfg.gt_path, f"{name}_views.json")
         write_transforms(json_path, root)
         jsons.append(json_path)

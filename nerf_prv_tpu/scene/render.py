@@ -26,8 +26,7 @@ import numpy as np
 from ..core import camera as cam
 
 
-@partial(jax.jit, static_argnames=("model", "width", "height", "point_size"))
-def _splat(points_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height, point_size):
+def _splat_core(points_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height, point_size):
     z = points_cam[:, 2]
     x = points_cam[:, 0] / jnp.maximum(z, 1e-9)
     y = points_cam[:, 1] / jnp.maximum(z, 1e-9)
@@ -62,6 +61,78 @@ def _splat(points_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height,
     return rgb, alpha.reshape(height, width)
 
 
+_splat = partial(jax.jit, static_argnames=("model", "width", "height", "point_size"))(
+    _splat_core
+)
+
+
+@partial(jax.jit, static_argnames=("model", "width", "height", "point_size"))
+def _splat_batch_u8(
+    points_world, colors01, w2c_batch, fx, fy, ppx, ppy, coeffs, model, width, height, point_size
+):
+    """All frames in one dispatch, packed uint8 RGBA on device.
+
+    ``lax.map`` keeps one frame's splat temporaries live at a time; the
+    packed u8 output is 4x fewer readback bytes than float rgb+alpha —
+    the readback link, not the splat, dominates coverage generation on a
+    tunneled TPU (~10 MB/s host link)."""
+
+    def one(w2c):
+        pts_cam = points_world @ w2c[:3, :3].T + w2c[:3, 3]
+        rgb, alpha = _splat_core(
+            pts_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height, point_size
+        )
+        rgba = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+        return jnp.round(jnp.clip(rgba, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return jax.lax.map(one, w2c_batch)
+
+
+def render_pointcloud_views(
+    points_world: np.ndarray,
+    colors: Optional[np.ndarray],
+    cam_to_world_batch: np.ndarray,  # (F, 4, 4)
+    intr,
+    point_size: Optional[int] = None,
+) -> np.ndarray:
+    """Batched GT renders -> uint8 RGBA (F, H, W, 4), one device dispatch."""
+    pts = jnp.asarray(points_world, jnp.float32)
+    col = _colors01(colors, len(pts))
+    c2w = np.asarray(cam_to_world_batch, np.float64)
+    w2c = np.linalg.inv(c2w)
+    # pad the frame axis to a bucket so every coverage view count shares a
+    # compiled program (pad frames render behind the camera and are sliced
+    # off on device before the readback)
+    f = len(w2c)
+    bucket = next((b for b in (4, 8, 16, 32, 64, 128) if f <= b), f)
+    w2c34 = np.tile(np.eye(3, 4, dtype=np.float64), (bucket, 1, 1))
+    w2c34[:f] = w2c[:, :3, :4]
+    out = _splat_batch_u8(
+        pts,
+        col,
+        jnp.asarray(w2c34, jnp.float32),
+        jnp.float32(intr.fx),
+        jnp.float32(intr.fy),
+        jnp.float32(intr.ppx),
+        jnp.float32(intr.ppy),
+        tuple(jnp.float32(c) for c in intr.coeffs),
+        int(intr.model),
+        int(intr.width),
+        int(intr.height),
+        int(point_size) if point_size else 5,
+    )
+    return np.asarray(out[:f])
+
+
+def _colors01(colors, n):
+    if colors is None:
+        return jnp.zeros((n, 3), jnp.float32)
+    col = jnp.asarray(colors, jnp.float32)
+    if col.dtype != jnp.float32 or col.max() > 1.5:
+        col = col.astype(jnp.float32) / 255.0
+    return col
+
+
 def render_pointcloud(
     points_world: np.ndarray,
     colors: Optional[np.ndarray],
@@ -75,12 +146,7 @@ def render_pointcloud(
     ``convertToAlpha``, ``Share_Data.hpp:765-778``).
     """
     pts = jnp.asarray(points_world, jnp.float32)
-    if colors is None:
-        col = jnp.zeros((len(pts), 3), jnp.float32)
-    else:
-        col = jnp.asarray(colors, jnp.float32)
-        if col.dtype != jnp.float32 or col.max() > 1.5:
-            col = col.astype(jnp.float32) / 255.0
+    col = _colors01(colors, len(pts))
     c2w = np.asarray(cam_to_world, np.float64)
     w2c = np.linalg.inv(c2w)
     pts_cam = pts @ jnp.asarray(w2c[:3, :3].T, jnp.float32) + jnp.asarray(
