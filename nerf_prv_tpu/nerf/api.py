@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,15 +36,24 @@ def train_nerf(
 
 
 def eval_nerf(
-    params, test_json: str, cfg: Optional[NerfConfig] = None
+    params, test_json, cfg: Optional[NerfConfig] = None
 ) -> Dict[str, float]:
     """PSNR/SSIM against the test set (≙ run.py:213-277: per-image PSNR
-    averaged, black background, sRGB-clipped)."""
+    averaged, black background, sRGB-clipped).
+
+    ``test_json`` may be a transforms.json path or a preloaded
+    :class:`RayDataset` — a label sweep evaluates the same 100-view test
+    set ~25 times, and re-decoding 100 PNGs each time costs more host
+    time than a whole training run.
+    """
     cfg = cfg or NerfConfig()
-    ds = load_dataset(test_json, with_images=True)
-    tot_psnr, tot_ssim, tot_mse, n = 0.0, 0.0, 0.0, 0
-    minpsnr, maxpsnr = float("inf"), -float("inf")
-    group = 8  # frames rendered per batched dispatch
+    ds = (
+        test_json
+        if isinstance(test_json, RayDataset)
+        else load_dataset(test_json, with_images=True)
+    )
+    psnrs, ssims, mses = [], [], []
+    group = 8  # frames rendered + scored per batched dispatch
     for start in range(0, ds.n_frames, group):
         stop = min(start + group, ds.n_frames)
         imgs = render_views(
@@ -53,25 +63,29 @@ def eval_nerf(
             ds.camera,
             cfg,
         )
-        for i in range(stop - start):
-            pred = imgs[i, ..., :3]
-            gt = ds.pixels[start + i]
-            gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
-            p, s, m = evaluate_pair(pred, gt_rgb)
-            p, s, m = float(p), float(s), float(m)
-            tot_psnr += p
-            tot_ssim += s
-            tot_mse += m
-            minpsnr = min(minpsnr, p)
-            maxpsnr = max(maxpsnr, p)
-            n += 1
+        gt = ds.pixels[start:stop]
+        gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
+        p, s, m = _eval_batch(imgs[..., :3], gt_rgb)
+        psnrs.append(np.asarray(p))
+        ssims.append(np.asarray(s))
+        mses.append(np.asarray(m))
+    psnr = np.concatenate(psnrs)
+    ssim = np.concatenate(ssims)
+    mse = np.concatenate(mses)
+    n = max(len(psnr), 1)
     return {
-        "PSNR": tot_psnr / max(n, 1),
-        "SSIM": tot_ssim / max(n, 1),
-        "PSNR_avgmse": float(mse2psnr(tot_mse / max(n, 1))),
-        "min_PSNR": minpsnr,
-        "max_PSNR": maxpsnr,
+        "PSNR": float(psnr.mean()) if len(psnr) else 0.0,
+        "SSIM": float(ssim.mean()) if len(ssim) else 0.0,
+        "PSNR_avgmse": float(mse2psnr(mse.mean())) if len(mse) else 0.0,
+        "min_PSNR": float(psnr.min()) if len(psnr) else float("inf"),
+        "max_PSNR": float(psnr.max()) if len(psnr) else -float("inf"),
     }
+
+
+@jax.jit
+def _eval_batch(pred_rgb, gt_rgb):
+    """vmapped evaluate_pair: (F,H,W,3) x2 -> three (F,) metric vectors."""
+    return jax.vmap(evaluate_pair)(pred_rgb, gt_rgb)
 
 
 def save_metrics(path: str, metrics: Dict[str, float]) -> None:

@@ -109,9 +109,11 @@ def mode_instant_ngp(
     *simultaneously* via the batched object axis (sharded over the mesh's
     ``dp`` dimension) — the reference runs these serially through one GPU.
     """
-    from ..nerf.api import eval_nerf, run, save_metrics
+    from ..nerf.api import eval_nerf, save_metrics
     from ..scene.object_setup import load_object
     from .coverage import get_coverage
+
+    from ..nerf.rays import load_dataset
 
     nerf_cfg = nerf_cfg or NerfConfig(n_steps=cfg.n_steps)
     jobs = []  # (train_json, test_json, metrics_file)
@@ -127,25 +129,32 @@ def mode_instant_ngp(
                 continue
             jobs.append((get_coverage(scene, obj_cfg, n), test_json, metrics_file))
 
+    # decode each 100-view test set once per object, not once per count
+    test_cache: Dict[str, object] = {}
+
+    def test_ds(path):
+        if path not in test_cache:
+            test_cache.clear()  # keep at most one object's test set in RAM
+            test_cache[path] = load_dataset(path)
+        return test_cache[path]
+
     if batch_size <= 1:
+        from ..nerf.api import train_nerf
+
         for train_json, test_json, metrics_file in jobs:
-            run(
-                train_json,
-                test_transforms=test_json,
-                save_metrics_path=metrics_file,
-                cfg=nerf_cfg,
-            )
+            params, _ = train_nerf(train_json, nerf_cfg)
+            metrics = eval_nerf(params, test_ds(test_json), nerf_cfg)
+            save_metrics(metrics_file, metrics)
         return
 
     from ..nerf.batch_train import slice_params, train_batch
-    from ..nerf.rays import load_dataset
 
     for start in range(0, len(jobs), batch_size):
         group = jobs[start : start + batch_size]
         datasets = [load_dataset(j[0]) for j in group]
         params, _ = train_batch(datasets, nerf_cfg)
         for i, (_, test_json, metrics_file) in enumerate(group):
-            metrics = eval_nerf(slice_params(params, i), test_json, nerf_cfg)
+            metrics = eval_nerf(slice_params(params, i), test_ds(test_json), nerf_cfg)
             save_metrics(metrics_file, metrics)
 
 
