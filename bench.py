@@ -70,19 +70,40 @@ def main():
         return float(np.asarray(jnp.sum(x)))
 
     # ---- training rate ---------------------------------------------------
+    # the production trainer runs two phases (train.py): train_warmup_steps
+    # of flat marching while geometry forms, then probe-tightened steps;
+    # measure each phase's steady-state rate and combine per the protocol
+    import dataclasses
+
     steps_meas = 500
-    params, opt_state, losses = train_chunk(
-        params, opt_state, key, pixels_j, rot_j, org_j, camera, cfg, steps_meas
+    warm_cfg = (
+        dataclasses.replace(cfg, train_coarse=0, n_samples=cfg.train_warmup_samples)
+        if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0
+        else cfg
     )
-    sync(losses)  # warm: pays compile for this exact scan length
-    t0 = time.perf_counter()
-    params, opt_state, losses = train_chunk(
-        params, opt_state, jax.random.PRNGKey(1), pixels_j, rot_j, org_j,
-        camera, cfg, steps_meas
-    )
-    sync(losses)
-    t_train = time.perf_counter() - t0
-    train_rate = steps_meas * cfg.train_rays / t_train  # rays/s
+
+    def measure_chunk(phase_cfg, key_seed):
+        nonlocal params, opt_state
+        params, opt_state, losses = train_chunk(
+            params, opt_state, jax.random.PRNGKey(key_seed), pixels_j, rot_j,
+            org_j, camera, phase_cfg, steps_meas
+        )
+        sync(losses)  # warm: pays compile for this exact scan length
+        t0 = time.perf_counter()
+        params, opt_state, losses = train_chunk(
+            params, opt_state, jax.random.PRNGKey(key_seed + 1), pixels_j,
+            rot_j, org_j, camera, phase_cfg, steps_meas
+        )
+        sync(losses)
+        return time.perf_counter() - t0
+
+    t_warm = measure_chunk(warm_cfg, 1)
+    t_tight = measure_chunk(cfg, 3) if warm_cfg is not cfg else t_warm
+    n_warm = min(cfg.train_warmup_steps, PROTOCOL_TRAIN_STEPS) if warm_cfg is not cfg else 0
+    t_train = (
+        n_warm * t_warm + (PROTOCOL_TRAIN_STEPS - n_warm) * t_tight
+    ) / steps_meas
+    train_rate = PROTOCOL_TRAIN_STEPS * cfg.train_rays / t_train  # rays/s
 
     # ---- render rate (batched frames, one ray stream) ---------------------
     n_render = 8
@@ -122,7 +143,9 @@ def main():
         "detail": {
             "train_rays_per_sec": round(train_rate, 1),
             "render_rays_per_sec": round(render_rate, 1),
-            "train_steps_per_sec": round(steps_meas / t_train, 2),
+            "train_steps_per_sec": round(PROTOCOL_TRAIN_STEPS / t_train, 2),
+            "train_warmup_ms_per_step": round(t_warm / steps_meas * 1e3, 3),
+            "train_tight_ms_per_step": round(t_tight / steps_meas * 1e3, 3),
             "protocol_seconds_per_object": round(protocol_time, 2),
             "candidate_scoring_540_views_s": round(t_score, 3),
             "field": cfg.field_impl,

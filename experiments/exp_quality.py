@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
-"""Quality/speed sweep of voxel-field configs on the synthetic splat scene.
+"""Quality/speed sweep: hierarchical-importance training and reduced-sample
+saturation-tightened rendering vs the flat-96 baseline.
 
-Trains 2500 steps per variant at production-like resolution and reports
-PSNR/SSIM on held-out views plus wall time.  Run detached:
-  python -u experiments/exp_quality.py > /tmp/exp_quality.log
+Trains each train-variant 2500 steps on the synthetic splat scene, then
+evaluates each with several render settings (saturation-aware 24-probe
+tightening at 48/32/24 fine samples).  Run detached:
+  nohup python -u experiments/exp_quality.py > /tmp/exp_quality.log 2>&1 &
 """
+import dataclasses
 import os
 import sys
 import time
@@ -16,8 +19,6 @@ import numpy as np
 
 
 def main():
-    import jax.numpy as jnp
-
     from nerf_prv_tpu.core.config import CameraConfig
     from nerf_prv_tpu.nerf import NerfConfig
     from nerf_prv_tpu.nerf.api import eval_nerf, train_nerf
@@ -35,30 +36,29 @@ def main():
     train_js = os.path.join(scene_dir, "train.json")
     test_js = os.path.join(scene_dir, "test.json")
 
-    variants = {
-        "G40_base_no_oversample": NerfConfig(train_hit_oversample=1),
-        "G40_oversample4": NerfConfig(),
-        "G24_oversample4": NerfConfig(voxel_grid_size=24),
-        "G32_oversample4": NerfConfig(voxel_grid_size=32),
-        "G24_imp32": NerfConfig(
-            voxel_grid_size=24, n_samples=32, n_importance=32
-        ),
-        "G40_imp32": NerfConfig(n_samples=32, n_importance=32),
-        "G40_imp32+16": NerfConfig(n_samples=32, n_importance=16),
-        "G40_imp48+16": NerfConfig(n_samples=48, n_importance=16),
+    train_variants = {
+        "tight16+48": NerfConfig(train_coarse=16, n_samples=48),
+        "tight24+48": NerfConfig(train_coarse=24, n_samples=48),
+        "tight16+32": NerfConfig(train_coarse=16, n_samples=32),
+        "tight24+32": NerfConfig(train_coarse=24, n_samples=32),
+        "tight16+24": NerfConfig(train_coarse=16, n_samples=24),
     }
-    for name, cfg in variants.items():
+    render_variants = {"r32": 32, "r24": 24}
+
+    for tname, cfg in train_variants.items():
         t0 = time.perf_counter()
         params, _ = train_nerf(train_js, cfg)
         t_train = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        metrics = eval_nerf(params, test_js, cfg)
-        t_eval = time.perf_counter() - t0
-        print(
-            f"{name:28s} train {t_train:6.1f}s eval {t_eval:5.1f}s "
-            f"PSNR {metrics['PSNR']:6.2f} SSIM {metrics['SSIM']:.4f}",
-            flush=True,
-        )
+        for rname, ns in render_variants.items():
+            ecfg = dataclasses.replace(cfg, render_n_samples=ns)
+            t0 = time.perf_counter()
+            metrics = eval_nerf(params, test_js, ecfg)
+            t_eval = time.perf_counter() - t0
+            print(
+                f"{tname:10s} {rname:4s} train {t_train:6.1f}s eval {t_eval:5.1f}s "
+                f"PSNR {metrics['PSNR']:6.2f} SSIM {metrics['SSIM']:.4f}",
+                flush=True,
+            )
     print("DONE", flush=True)
 
 

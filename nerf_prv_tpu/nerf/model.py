@@ -27,23 +27,39 @@ class NerfConfig:
     geo_features: int = 15
     sh_degree: int = 4  # 16 direction coefficients
     density_activation: str = "exp"
-    # marching (4096 x 96 = ~393k samples/batch, instant-ngp's batch scale;
-    # bounded by HBM temp usage of the XLA gather path — the Pallas fused
-    # encode raises this)
-    n_samples: int = 96
+    # gradient-carrying samples per train ray, marched inside the
+    # probe-tightened interval (train_coarse below); the short warmup
+    # phase uses train_warmup_samples over the full chord instead
+    n_samples: int = 32
     # hierarchical sampling (training only): when > 0, n_samples become a
     # density-only coarse pass and n_importance full-field samples are drawn
     # from its CDF; deterministic renders use a flat render_n_samples march
     n_importance: int = 0
-    render_n_samples: int = 48
+    render_n_samples: int = 32
     # deterministic-render interval tightening: when > 0, probe density at
     # this many midpoints first and march render_n_samples inside the
     # occupied [t_lo, t_hi] interval only (render.py render_rays).
-    # Defaults measured on v5e (trained flagship, 1280x720): flat-96
-    # 2.62 Mrays/s / 35.29 dB vs 24+48 3.20 Mrays/s / 35.34 dB.  24 probes
+    # Saturation-aware tightening measured on v5e (experiments/
+    # exp_quality.py, 320x180 splat scene): flat-96 35.35 dB, 24-probe+48
+    # 35.35, 24+32 35.41, 24+24 35.33 — 32 fine samples are lossless once
+    # the probe clamps the interval at transmittance collapse.  24 probes
     # keep the probe spacing under a single voxel's trilinear support so
     # one-voxel-thin structures cannot fall between probes (16 would not).
     render_coarse: int = 24
+    # training-time interval tightening: when > 0, every train step probes
+    # density at this many no-gradient midpoints per ray and marches its
+    # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a
+    # full-chord fallback for rays with no occupied probe).  Combined with
+    # train_warmup_steps of flat marching while geometry forms, this keeps
+    # flat-96 quality at half the gradient samples (the backward
+    # scatter-add is the dominant step cost; see experiments/exp_quality.py)
+    train_coarse: int = 24
+    # warmup sweep on v5e (experiments/exp_warmup.py): 500x96 35.20 dB,
+    # 250x48 35.22, 125x48 35.35, none 35.26 — the probe-tightened march
+    # "peels" initial fog by itself, so warmup is insurance for thin
+    # geometry, not a necessity, and short is best
+    train_warmup_steps: int = 125
+    train_warmup_samples: int = 48
     # training
     train_rays: int = 4096
     # sample this multiple of train_rays candidate pixels per step and keep
@@ -69,6 +85,9 @@ class NerfConfig:
     # grid-gradient implementation: "xla" (native duplicate-index
     # scatter-add) or "sorted" (sort + segmented-sum + unique scatter)
     voxel_grad_impl: str = "xla"
+    # gather the grid rows through a bfloat16 view ("bf16") or at full
+    # precision ("f32"); backward accumulation is float32 either way
+    voxel_gather_dtype: str = "bf16"
     # ray bound: "sphere" clips sampling to the object's bounding sphere
     # (tight by the transforms.json scale convention); "cube" = unit AABB
     bound: str = "sphere"

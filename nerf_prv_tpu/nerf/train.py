@@ -138,16 +138,34 @@ def train(
     org = jnp.asarray(org_np)
     n_frames = jnp.int32(n_real)
 
-    losses = []
-    steps_left = cfg.n_steps
-    while steps_left > 0:
-        n = min(chunk_steps, steps_left)
-        key, kc = jax.random.split(key)
-        params, opt_state, chunk_losses = train_chunk(
-            params, opt_state, kc, pixels_u8, rot, org, dataset.camera, cfg, n, n_frames
+    # phase plan: with train_coarse on, geometry first forms during a flat
+    # warmup march, then the probe-tightened march takes over (the probe
+    # needs a meaningful density field to bound against)
+    import dataclasses
+
+    phases = []
+    if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0:
+        warm = dataclasses.replace(
+            cfg, train_coarse=0, n_samples=cfg.train_warmup_samples
         )
-        losses.append(np.asarray(chunk_losses))
-        steps_left -= n
+        n_warm = min(cfg.train_warmup_steps, cfg.n_steps)
+        phases.append((warm, n_warm))
+        phases.append((cfg, cfg.n_steps - n_warm))
+    else:
+        phases.append((cfg, cfg.n_steps))
+
+    losses = []
+    for phase_cfg, phase_steps in phases:
+        steps_left = phase_steps
+        while steps_left > 0:
+            n = min(chunk_steps, steps_left)
+            key, kc = jax.random.split(key)
+            params, opt_state, chunk_losses = train_chunk(
+                params, opt_state, kc, pixels_u8, rot, org, dataset.camera,
+                phase_cfg, n, n_frames
+            )
+            losses.append(np.asarray(chunk_losses))
+            steps_left -= n
     return params, np.concatenate(losses) if losses else np.zeros(0)
 
 

@@ -51,6 +51,34 @@ def _gr_bwd(n_rows, row_idx, g):
 _gather_rows_sorted.defvjp(_gr_fwd, _gr_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows_bf16(grid: jnp.ndarray, row_idx: jnp.ndarray):
+    """Gather rows through a bfloat16 view of the grid.
+
+    v5e gathers run ~15-25% faster on half-width rows (measured in
+    experiments/exp_vmem_gather.py: 260 -> 300+ M rows/s); the one-time
+    bf16 rounding of grid values is far below the field's noise floor.
+    The backward scatter-add stays float32 (scatter rate is row-count
+    bound, not byte bound, so full-precision accumulation is free).
+    """
+    return grid.astype(jnp.bfloat16)[row_idx]
+
+
+def _grb_fwd(grid, row_idx):
+    return grid.astype(jnp.bfloat16)[row_idx], (row_idx, grid.shape[0])
+
+
+def _grb_bwd(res, g):
+    row_idx, n_rows = res
+    d = jnp.zeros((n_rows, g.shape[1]), jnp.float32).at[row_idx].add(
+        g.astype(jnp.float32)
+    )
+    return d, None
+
+
+_gather_rows_bf16.defvjp(_grb_fwd, _grb_bwd)
+
+
 def pe_encode(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     """Sin/cos positional encoding, (N, 3) -> (N, 6*n_freqs)."""
     freqs = 2.0 ** jnp.arange(n_freqs, dtype=jnp.float32) * jnp.pi
@@ -94,6 +122,9 @@ def _blend(params, x, cfg):
     row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
     if cfg.voxel_grad_impl == "sorted":
         rows = _gather_rows_sorted(params["grid"], row_idx, g * g * g)
+    elif cfg.voxel_gather_dtype == "bf16":
+        # the single wide gather, through a half-width view of the grid
+        rows = _gather_rows_bf16(params["grid"], row_idx).astype(jnp.float32)
     else:
         rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
     # blend as 8 flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would
