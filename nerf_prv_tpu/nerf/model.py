@@ -35,17 +35,23 @@ class NerfConfig:
     # density-only coarse pass and n_importance full-field samples are drawn
     # from its CDF; deterministic renders use a flat render_n_samples march
     n_importance: int = 0
-    render_n_samples: int = 32
+    render_n_samples: int = 24
     # deterministic-render interval tightening: when > 0, probe density at
     # this many midpoints first and march render_n_samples inside the
     # occupied [t_lo, t_hi] interval only (render.py render_rays).
-    # Saturation-aware tightening measured on v5e (experiments/
-    # exp_quality.py, 320x180 splat scene): flat-96 35.35 dB, 24-probe+48
-    # 35.35, 24+32 35.41, 24+24 35.33 — 32 fine samples are lossless once
-    # the probe clamps the interval at transmittance collapse.  24 probes
-    # keep the probe spacing under a single voxel's trilinear support so
-    # one-voxel-thin structures cannot fall between probes (16 would not).
+    # With the two-level aux probe (below), 24 fine samples are lossless:
+    # 35.43 dB vs 35.41 at 32 on the splat scene (experiments/exp_pe.py);
+    # the tighter interval from saturation clamping keeps per-cell sample
+    # density high.  render_coarse (the aux-less fallback probe count)
+    # keeps probe spacing under a single voxel's trilinear support.
     render_coarse: int = 24
+    # two-level render probing against precomputed occupancy tables
+    # (render.build_render_aux): render_probe_coarse samples of the dilated
+    # block-max volume (one-hot matmuls, zero gathers) bound the occupied
+    # range, then render_probe_fine samples of trilinear corner-sigma
+    # (16-byte row gathers) tighten and saturation-clamp it
+    render_probe_coarse: int = 8
+    render_probe_fine: int = 16
     # training-time interval tightening: when > 0, every train step probes
     # density at this many no-gradient midpoints per ray and marches its
     # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a

@@ -11,7 +11,7 @@ because the batch is already dense (SURVEY.md §7 hard part (a)).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +20,94 @@ from .model import NerfConfig, field
 from .rays import ray_aabb, ray_sphere
 
 MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
+
+_PROBE_BLOCK = 4  # cells per pooled occupancy block (render aux level 1)
+
+
+class RenderAux(NamedTuple):
+    """Per-render-pass precomputed occupancy tables (see build_render_aux)."""
+
+    cell_raw: jnp.ndarray  # (g^3, 8) bf16 — raw log-density at cell corners
+    pooled: jnp.ndarray    # (nb, nb, nb) f32 — dilated block-max sigma
+
+
+def build_render_aux(params, cfg: NerfConfig) -> Optional[RenderAux]:
+    """Precompute the two-level occupancy tables for fast render probing.
+
+    Level 2 is sigma at every cell corner (one dense pass, ~0.5M MLP rows);
+    level 1 is its per-4^3-block max, dilated by one block so a
+    nearest-block lookup is conservative for samples whose probe segment
+    overhangs the block.  Rebuilt per render pass — the field is frozen
+    while rendering.
+    """
+    if cfg.field_impl != "voxel" or cfg.bound != "sphere":
+        return None
+    return _build_render_aux_jit(params, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _build_render_aux_jit(params, cfg: NerfConfig) -> RenderAux:
+    # one fused program: built eagerly this is ~50 tiny dispatches, which
+    # costs seconds over a remote-TPU tunnel
+    from .voxelfield import lattice_corner_raw
+
+    g = cfg.voxel_grid_size
+    cs = lattice_corner_raw(params, cfg)  # (g^3, 8) f32
+    cell_max = jnp.exp(jnp.max(cs, axis=-1)).reshape(g, g, g)
+    nb = -(-g // _PROBE_BLOCK)
+    pad = nb * _PROBE_BLOCK - g
+    cm = jnp.pad(cell_max, ((0, pad),) * 3)
+    pooled = cm.reshape(nb, _PROBE_BLOCK, nb, _PROBE_BLOCK, nb, _PROBE_BLOCK).max(
+        axis=(1, 3, 5)
+    )
+    p = jnp.pad(pooled, 1, mode="edge")
+    dil = pooled
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                dil = jnp.maximum(dil, p[dx : dx + nb, dy : dy + nb, dz : dz + nb])
+    return RenderAux(cs.astype(jnp.bfloat16), dil)
+
+
+def _pooled_lookup(pooled: jnp.ndarray, pos: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Nearest-block values for pos (N, S, 3) in [0,1] — as factorized
+    one-hot matmuls over the tiny pooled volume, not gathers (row-count is
+    the gather bottleneck; a (N*S, 10) @ (10, 100) matmul is free)."""
+    nb = pooled.shape[0]
+    n, s = pos.shape[:2]
+    b = jnp.clip(
+        (pos.reshape(-1, 3) * (g - 1) / _PROBE_BLOCK).astype(jnp.int32), 0, nb - 1
+    )
+    ar = jnp.arange(nb, dtype=jnp.int32)
+    ox = (b[:, 0:1] == ar[None, :]).astype(jnp.float32)  # (M, nb)
+    oy = (b[:, 1:2] == ar[None, :]).astype(jnp.float32)
+    oz = (b[:, 2:3] == ar[None, :]).astype(jnp.float32)
+    vx = ox @ pooled.reshape(nb, nb * nb)          # (M, nb*nb)
+    vy = jnp.sum(vx.reshape(-1, nb, nb) * oy[:, :, None], axis=1)  # (M, nb)
+    return jnp.sum(vy * oz, axis=1).reshape(n, s)
+
+
+def _cell_sigma_at(cell_raw: jnp.ndarray, pos: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Sigma from trilinear RAW log-density interpolation at pos (N, S, 3):
+    one 16-byte row gather per sample (exp after interpolation — the
+    conservative side for saturation clamping, see lattice_corner_raw)."""
+    n, s = pos.shape[:2]
+    p = jnp.clip(pos.reshape(-1, 3), 0.0, 1.0 - 1e-6) * (g - 1)
+    cell = jnp.floor(p).astype(jnp.int32)
+    frac = p - cell
+    row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    rows = cell_raw[row_idx].astype(jnp.float32)  # (M, 8)
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    w = jnp.stack(
+        [
+            (fx if di else 1.0 - fx) * (fy if dj else 1.0 - fy) * (fz if dk else 1.0 - fz)
+            for di in (0, 1)
+            for dj in (0, 1)
+            for dk in (0, 1)
+        ],
+        axis=-1,
+    )
+    return jnp.exp(jnp.sum(rows * w, axis=-1)).reshape(n, s)
 
 
 def _eval_field(params, pos, dirs_b, cfg):
@@ -96,6 +184,58 @@ def _tighten_interval(params, origins, dirs, tmin, tmax, valid, nc, cfg):
     return tmin + lo * span_c, tmin + hi * span_c, any_occ
 
 
+def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg):
+    """Two-level render probe against the precomputed occupancy tables.
+
+    Level 1: render_probe_coarse samples against the dilated block-max
+    volume via factorized one-hot matmuls — zero gathers.  Level 2:
+    render_probe_fine samples of trilinear corner-sigma — one 16-byte row
+    gather each, instead of the full field MLP probe (a ~64-byte-row
+    gather + PE + MLP per sample).  Same saturation-aware clamping as
+    ``_tighten_interval``.
+    """
+    g = cfg.voxel_grid_size
+    n1, n2 = cfg.render_probe_coarse, cfg.render_probe_fine
+    span = tmax - tmin
+
+    base1 = (jnp.arange(n1, dtype=jnp.float32)[None, :] + 0.5) / n1
+    ts1 = tmin[:, None] + base1 * span[:, None]
+    pos1 = jnp.clip(
+        origins[:, None, :] + dirs[:, None, :] * ts1[..., None], 0.0, 1.0 - 1e-6
+    )
+    pool = _pooled_lookup(aux.pooled, pos1, g)
+    delta1 = span[:, None] / n1
+    occ1 = (1.0 - jnp.exp(-pool * delta1) > 1e-3) & valid[:, None]
+    any1 = jnp.any(occ1, axis=-1)
+    first1 = jnp.argmax(occ1, axis=-1).astype(jnp.float32)
+    last1 = (n1 - 1 - jnp.argmax(occ1[:, ::-1], axis=-1)).astype(jnp.float32)
+    # half-segment margin; the block dilation already covers overhang
+    lo1 = jnp.maximum(first1 - 0.5, 0.0) / n1
+    hi1 = jnp.minimum(last1 + 1.5, n1) / n1
+    t1min = tmin + lo1 * span
+    t1max = tmin + hi1 * span
+
+    span2 = t1max - t1min
+    base2 = (jnp.arange(n2, dtype=jnp.float32)[None, :] + 0.5) / n2
+    ts2 = t1min[:, None] + base2 * span2[:, None]
+    pos2 = jnp.clip(
+        origins[:, None, :] + dirs[:, None, :] * ts2[..., None], 0.0, 1.0 - 1e-6
+    )
+    sig2 = _cell_sigma_at(aux.cell_raw, pos2, g)
+    alpha2 = 1.0 - jnp.exp(-sig2 * (span2[:, None] / n2))
+    occ2 = alpha2 > 1e-3
+    any2 = jnp.any(occ2, axis=-1)
+    first2 = jnp.argmax(occ2, axis=-1)
+    last2 = n2 - 1 - jnp.argmax(occ2[:, ::-1], axis=-1)
+    trans2 = jnp.cumprod(1.0 - alpha2 + 1e-10, axis=-1)
+    sat = trans2 < MIN_TRANSMITTANCE
+    first_sat = jnp.where(jnp.any(sat, axis=-1), jnp.argmax(sat, axis=-1), n2 - 1)
+    last2 = jnp.minimum(last2, first_sat)
+    lo2 = jnp.maximum(first2 - 1, 0).astype(jnp.float32) / n2
+    hi2 = jnp.minimum(last2 + 2, n2).astype(jnp.float32) / n2
+    return t1min + lo2 * span2, t1min + hi2 * span2, any1 & any2
+
+
 def _sample_cdf(ts, weights, n_fine, key):
     """Inverse-CDF sampling of fine ts from coarse weights (jaxnerf-style).
 
@@ -136,6 +276,7 @@ def render_rays(
     dirs: jnp.ndarray,
     cfg: NerfConfig,
     key: Optional[jax.Array] = None,
+    aux: Optional[RenderAux] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March rays through the bounded volume; returns (rgb (N,3), alpha (N,)).
 
@@ -158,14 +299,21 @@ def render_rays(
         tmin, tmax, valid = ray_aabb(origins, dirs)
 
     if not training and cfg.render_coarse > 0:
-        # interval-tightened two-pass render: a cheap density probe at
-        # render_coarse midpoints bounds the occupied t-interval, then the
-        # flat march concentrates every render sample inside it.  No CDFs,
-        # no per-ray sorts — just reductions, so unlike hierarchical
-        # sampling this is profitable in the forward-only path.
-        tmin, tmax, any_occ = _tighten_interval(
-            params, origins, dirs, tmin, tmax, valid, cfg.render_coarse, cfg
-        )
+        # interval-tightened two-pass render: a cheap density probe bounds
+        # the occupied t-interval, then the flat march concentrates every
+        # render sample inside it.  No CDFs, no per-ray sorts — just
+        # reductions, so unlike hierarchical sampling this is profitable
+        # in the forward-only path.  With a RenderAux the probe runs
+        # against precomputed occupancy tables (two-level, far fewer and
+        # narrower gathers); without, it evaluates the field MLP directly.
+        if aux is not None:
+            tmin, tmax, any_occ = _tighten_interval_aux(
+                aux, origins, dirs, tmin, tmax, valid, cfg
+            )
+        else:
+            tmin, tmax, any_occ = _tighten_interval(
+                params, origins, dirs, tmin, tmax, valid, cfg.render_coarse, cfg
+            )
         valid = valid & any_occ
     elif training and cfg.train_coarse > 0:
         # same probe for training (no gradient flows through it: the
@@ -270,31 +418,68 @@ def render_views(
         jnp.asarray(origins)[:, None, :], (n_frames, h * w, 3)
     ).reshape(-1, 3)
 
+    aux = build_render_aux(params, cfg) if cfg.render_coarse > 0 else None
     n = n_frames * h * w
     # ray compaction: sort hit rays to the front (most coverage-image rays
     # miss the bounding sphere entirely — object pixel rates run 3-30%,
     # cf. object_pixel_rate in DefaultConfiguration.yaml) and march only the
     # chunks that contain hits; misses composite to black/alpha 0 exactly.
-    if cfg.bound == "sphere":
-        # one fused (N, 6) permutation gather + a gather-based un-permute
-        # (vs two gathers + a scatter: scatters run ~60M rows/s on v5e where
-        # gathers run ~250M — measured in experiments/exp_vmem_gather.py)
+    if cfg.bound == "sphere" and w >= 512:
+        # tile-level compaction: per-RAY permutation (hits-first gather +
+        # un-permute) costs the big-table gather rate (~80M rows/s on
+        # multi-hundred-MB ray sets — ~450 ms per 8 frames); grouping rays
+        # into _RENDER_TILE-pixel tiles turns it into a few thousand
+        # 3-KB-row block gathers and one unique block scatter (~free), at
+        # the price of marching the partially-empty silhouette-edge tiles.
+        # Narrow frames (candidate scoring at 80x45) inflate tile occupancy
+        # past the permutation savings and take the per-ray path below.
+        t = _RENDER_TILE
+        npad = (-n) % t
+        od = jnp.concatenate([o_all, d_all], axis=-1)
+        if npad:
+            # pad rays point away from the volume -> sphere miss
+            miss = jnp.tile(jnp.asarray([[0.5, 0.5, 2.0, 0.0, 0.0, 1.0]]), (npad, 1))
+            od = jnp.concatenate([od, miss])
+        n_p = n + npad
+        n_tiles = n_p // t
+        od_t = od.reshape(n_tiles, 6 * t)
+        order_t, n_act = _tile_order(od, t)
+        n_act = int(n_act)
+        ct = max(chunk // t, 1)
+        stop_t = min(((n_act + ct - 1) // ct) * ct, ((n_tiles + ct - 1) // ct) * ct)
+        order_pad = jnp.concatenate(
+            [order_t, jnp.zeros((max(stop_t - n_tiles, 0),), jnp.int32)]
+        )
+        outs = []
+        for i in range(0, stop_t, ct):
+            outs.append(
+                _jit_render_tiles(params, od_t, order_pad[i : i + ct], cfg, aux)
+            )
+        if outs:
+            rgba_t = jnp.concatenate(outs)
+            out = _scatter_tiles(rgba_t, order_pad[: rgba_t.shape[0]], n_tiles, n_act)
+        else:
+            out = jnp.zeros((n_tiles, 4 * t))
+        rgba = out.reshape(n_p, 4)[:n]
+        rgb, a = rgba[:, :3], rgba[:, 3]
+    elif cfg.bound == "sphere":
+        # per-ray compaction: one fused (N, 6) permutation gather + a
+        # gather-based un-permute (scatters run ~60M rows/s on v5e where
+        # gathers run ~80-250M; experiments/exp_vmem_gather.py)
         od_sorted, pos, n_hit = _compact_rays(o_all, d_all)
         n_hit = int(n_hit)
         pad = (-n) % chunk
         od_pad = jnp.concatenate(
-            [od_sorted, jnp.tile(jnp.asarray([[0.0, 0, 0, 1, 1, 1]]), (pad, 1))]
+            [od_sorted, jnp.tile(jnp.asarray([[0.5, 0.5, 2.0, 0.0, 0.0, 1.0]]), (pad, 1))]
         )
         outs = []
         stop = min(n + pad, ((n_hit + chunk - 1) // chunk) * chunk)
         for i in range(0, stop, chunk):
             rgb, a = _jit_render(
-                params, od_pad[i : i + chunk, :3], od_pad[i : i + chunk, 3:], cfg
+                params, od_pad[i : i + chunk, :3], od_pad[i : i + chunk, 3:], cfg, aux
             )
             outs.append(jnp.concatenate([rgb, a[:, None]], axis=-1))
-        rgba_hit = (
-            jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
-        )
+        rgba_hit = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
         rgb, a = _gather_back(rgba_hit, pos, n)
     else:
         pad = (-n) % chunk
@@ -302,7 +487,7 @@ def render_views(
         o_pad = jnp.concatenate([o_all, jnp.zeros((pad, 3))], axis=0)
         outs_rgb, outs_a = [], []
         for i in range(0, n + pad, chunk):
-            rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg)
+            rgb, a = _jit_render(params, o_pad[i : i + chunk], d_pad[i : i + chunk], cfg, aux)
             outs_rgb.append(rgb)
             outs_a.append(a)
         rgb = jnp.concatenate(outs_rgb)[:n]
@@ -310,6 +495,39 @@ def render_views(
     rgb = rgb.reshape(n_frames, h, w, 3)
     a = a.reshape(n_frames, h, w)
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
+
+
+_RENDER_TILE = 128  # rays per compaction tile (render_views sphere path)
+
+
+@partial(jax.jit, static_argnames=("t",))
+def _tile_order(od, t):
+    """Active-tiles-first permutation over _RENDER_TILE-ray tiles.
+
+    Same cumsum partition as ``_hit_order`` but over the tile axis — a few
+    ten-thousand elements instead of millions, so it costs microseconds.
+    """
+    _, _, valid = ray_sphere(od[:, :3], od[:, 3:])
+    th = jnp.any(valid.reshape(-1, t), axis=1)
+    m = th.shape[0]
+    n_act = jnp.sum(th)
+    pos_hit = jnp.cumsum(th) - 1
+    pos_miss = n_act + jnp.cumsum(~th) - 1
+    pos = jnp.where(th, pos_hit, pos_miss).astype(jnp.int32)
+    order = jnp.zeros((m,), jnp.int32).at[pos].set(
+        jnp.arange(m, dtype=jnp.int32), unique_indices=True
+    )
+    return order, n_act
+
+
+@partial(jax.jit, static_argnames=("n_tiles",))
+def _scatter_tiles(rgba_t, tidx, n_tiles, n_act):
+    # unique block scatter; rows beyond the active count are chunk padding
+    # (tile 0 re-marched) and get dropped via an out-of-range index
+    m = rgba_t.shape[0]
+    safe = jnp.where(jnp.arange(m) < n_act, tidx, n_tiles)
+    out = jnp.zeros((n_tiles, rgba_t.shape[1]), rgba_t.dtype)
+    return out.at[safe].set(rgba_t, unique_indices=True, mode="drop")
 
 
 @jax.jit
@@ -353,5 +571,19 @@ def _gather_back(rgba_hit, pos, n):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _jit_render(params, origins, dirs, cfg):
-    return render_rays(params, origins, dirs, cfg, key=None)
+def _jit_render(params, origins, dirs, cfg, aux=None):
+    return render_rays(params, origins, dirs, cfg, key=None, aux=aux)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_render_tiles(params, od_t, tidx, cfg, aux=None):
+    """One dispatch per chunk: tile-block gather + march + tile repack.
+
+    Keeping the gather/reshape inside the jitted program matters on a
+    remote-TPU tunnel where every eager op pays dispatch latency.
+    """
+    ct = tidx.shape[0]
+    t = od_t.shape[1] // 6
+    rays = od_t[tidx].reshape(ct * t, 6)
+    rgb, a = render_rays(params, rays[:, :3], rays[:, 3:], cfg, key=None, aux=aux)
+    return jnp.concatenate([rgb, a[:, None]], axis=-1).reshape(ct, 4 * t)

@@ -143,6 +143,41 @@ def _blend(params, x, cfg):
     return out
 
 
+def lattice_corner_raw(params, cfg) -> jnp.ndarray:
+    """Evaluate RAW log-density at every cell's 8 corners -> (g^3, 8) f32.
+
+    One dense pass over the grid (g^3 x 8 MLP evaluations, ~0.5M rows —
+    sub-millisecond) that render-time probing reads instead of running
+    the field MLP per probe sample: probing then costs ONE 16-byte row
+    gather + an in-register trilinear per sample.  Raw (pre-exp) values
+    interpolate on the SAFE side: exp is convex, so exp(trilinear(raw))
+    underestimates trilinear(exp(raw)) mid-cell — the probe then clamps
+    the interval later, never earlier, than the true field would
+    (interpolating sigma itself measured -7 dB from early saturation
+    clamping; experiments/exp_aux_probe.py).
+    """
+    g = cfg.voxel_grid_size
+    f = cfg.voxel_features
+    rows = params["grid"]  # (g^3, 8*F)
+    # corner positions of every cell, in [0,1]^3 field coordinates
+    cell = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(g, dtype=jnp.float32)] * 3), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, 3)
+    ct = cfg.compute_dtype
+    sig = []
+    for c, (di, dj, dk) in enumerate(
+        (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
+    ):
+        corner = (cell + jnp.asarray([di, dj, dk], jnp.float32)) / (g - 1)
+        pe = pe_encode(jnp.clip(corner, 0.0, 1.0), cfg.voxel_pe_freqs)
+        h = jnp.concatenate([rows[:, c * f : (c + 1) * f], pe], axis=-1).astype(ct)
+        h = jnp.maximum(h @ params["sigma_w0"].astype(ct), 0)
+        raw = (h @ params["sigma_w1"].astype(ct)).astype(jnp.float32)[:, 0]
+        sig.append(raw)
+    return jnp.stack(sig, axis=-1)  # (g^3, 8)
+
+
 def voxel_density_raw(params, x, cfg):
     from .model import NerfConfig  # noqa: F401 (type reference)
 
