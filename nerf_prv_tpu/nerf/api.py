@@ -35,6 +35,20 @@ def train_nerf(
     return params, dataset
 
 
+def save_snapshot(path: str, params: dict) -> None:
+    """Persist trained field parameters (≙ ``--save_snapshot``,
+    run.py:210-211 — present in the reference CLI though the pipeline
+    retrains from scratch each iteration)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_snapshot(path: str) -> dict:
+    """Load parameters saved by :func:`save_snapshot` (≙ ``--load_snapshot``,
+    run.py:123-127)."""
+    with np.load(path) as z:
+        return {k: jnp.asarray(z[k]) for k in z.files}
+
+
 def eval_nerf(
     params, test_json, cfg: Optional[NerfConfig] = None
 ) -> Dict[str, float]:
@@ -148,15 +162,28 @@ def run(
     screenshot_dir: Optional[str] = None,
     cfg: Optional[NerfConfig] = None,
     seed: int = 0,
+    load_snapshot_path: Optional[str] = None,
+    save_snapshot_path: Optional[str] = None,
+    save_mesh_path: Optional[str] = None,
+    marching_cubes_res: int = 128,
+    video_camera_path: Optional[str] = None,
+    video_output: str = "video.mp4",
+    video_fps: int = 30,
 ) -> Optional[Dict[str, float]]:
     """In-process equivalent of one ``run.py`` invocation
-    (≙ the command line assembled at main.cpp:1665-1688)."""
+    (≙ the command line assembled at main.cpp:1665-1688, plus the
+    snapshot/mesh/video extras of run.py:36-43,123-127,210-211,279-353)."""
     import dataclasses
 
     cfg = cfg or NerfConfig()
     if n_steps is not None:
         cfg = dataclasses.replace(cfg, n_steps=n_steps)
-    params, _ = train_nerf(scene, cfg, seed=seed)
+    if load_snapshot_path:
+        params = load_snapshot(load_snapshot_path)
+    else:
+        params, _ = train_nerf(scene, cfg, seed=seed)
+    if save_snapshot_path:
+        save_snapshot(save_snapshot_path, params)
     metrics = None
     if test_transforms:
         metrics = eval_nerf(params, test_transforms, cfg)
@@ -164,4 +191,12 @@ def run(
             save_metrics(save_metrics_path, metrics)
     if screenshot_transforms and screenshot_dir:
         screenshot_nerf(params, screenshot_transforms, screenshot_dir, cfg)
+    if save_mesh_path:
+        from .extract import save_geometry
+
+        save_geometry(params, cfg, save_mesh_path, resolution=marching_cubes_res)
+    if video_camera_path:
+        from .extract import render_video
+
+        render_video(params, video_camera_path, video_output, cfg, fps=video_fps)
     return metrics

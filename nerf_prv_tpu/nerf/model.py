@@ -56,10 +56,13 @@ class NerfConfig:
     # density at this many no-gradient midpoints per ray and marches its
     # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a
     # full-chord fallback for rays with no occupied probe).  Combined with
-    # train_warmup_steps of flat marching while geometry forms, this keeps
-    # flat-96 quality at half the gradient samples (the backward
-    # scatter-add is the dominant step cost; see experiments/exp_quality.py)
-    train_coarse: int = 24
+    # a short flat warmup while geometry forms, this keeps flat-96 quality
+    # at a third of the gradient samples (the backward scatter-add is the
+    # dominant step cost).  16 probes measured quality-neutral vs 24 twice
+    # (35.38/35.43, 35.23/35.20 — experiments/exp_quality.py,
+    # exp_trainrays.py); smaller train batches (2048/3072 rays) measured
+    # -0.1..-0.2 dB and were rejected
+    train_coarse: int = 16
     # warmup sweep on v5e (experiments/exp_warmup.py): 500x96 35.20 dB,
     # 250x48 35.22, 125x48 35.35, none 35.26 — the probe-tightened march
     # "peels" initial fog by itself, so warmup is insurance for thin

@@ -29,6 +29,14 @@ def parse_args(argv=None):
     p.add_argument("--width", type=int, default=0)
     p.add_argument("--height", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    # snapshot / geometry / video extras (≙ run.py:36-43)
+    p.add_argument("--save_snapshot", default="")
+    p.add_argument("--load_snapshot", default="")
+    p.add_argument("--save_mesh", default="")
+    p.add_argument("--marching_cubes_res", type=int, default=128)
+    p.add_argument("--video_camera_path", default="")
+    p.add_argument("--video_output", default="video.mp4")
+    p.add_argument("--video_fps", type=int, default=30)
     return p.parse_args(argv)
 
 
@@ -44,6 +52,13 @@ def main(argv=None):
         screenshot_transforms=args.screenshot_transforms or None,
         screenshot_dir=args.screenshot_dir or None,
         seed=args.seed,
+        load_snapshot_path=args.load_snapshot or None,
+        save_snapshot_path=args.save_snapshot or None,
+        save_mesh_path=args.save_mesh or None,
+        marching_cubes_res=args.marching_cubes_res,
+        video_camera_path=args.video_camera_path or None,
+        video_output=args.video_output,
+        video_fps=args.video_fps,
     )
     if metrics:
         print(f"PSNR={metrics['PSNR']} SSIM={metrics['SSIM']}")

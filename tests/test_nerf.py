@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,23 @@ def test_nerf_end_to_end_synthetic(tmp_path):
     assert metrics["PSNR"] > black_psnr + 4.0, (metrics, black_psnr)
     assert metrics["PSNR"] > 17.0, metrics
     assert 0.5 < metrics["SSIM"] <= 1.0
+
+
+def test_snapshot_roundtrip(tmp_path):
+    """save_snapshot/load_snapshot preserve params bit-exactly and render
+    identically (≙ run.py --save_snapshot/--load_snapshot, run.py:36-37)."""
+    from nerf_prv_tpu.nerf.api import load_snapshot, save_snapshot
+
+    train_json, test_json, _, _ = write_scene(
+        str(tmp_path), n_train=4, n_test=2, n_points=3000
+    )
+    cfg = dataclasses.replace(TINY, n_steps=20)
+    params, _ = train_nerf(train_json, cfg, seed=0)
+    snap = str(tmp_path / "snap.npz")
+    save_snapshot(snap, params)
+    loaded = load_snapshot(snap)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(loaded[k]))
+    m1 = eval_nerf(params, test_json, cfg)
+    m2 = eval_nerf(loaded, test_json, cfg)
+    assert m1["PSNR"] == pytest.approx(m2["PSNR"], abs=1e-5)
