@@ -54,3 +54,92 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> Tuple[np.nda
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return np.pad(x, widths, mode="edge"), n
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism: grid rows sharded over a "tp" mesh axis.
+#
+# The voxel field's parameters are one (g^3, 8F) row table; at production
+# grid sizes it fits one chip, but larger grids (g >= 128 is ~128 MB f32)
+# want the classic sharded-embedding layout: each device holds a contiguous
+# row shard, gathers locally with out-of-shard rows masked to zero, and one
+# psum over "tp" reconstructs every row (each global row lives on exactly
+# one shard).  Gradients flow through automatically: psum's backward is a
+# broadcast and the masked gather's backward is a scatter into the local
+# shard only.  Pipeline parallelism is deliberately absent — the field is a
+# 3-layer MLP over one lookup; there is no pipelineable depth.
+# ---------------------------------------------------------------------------
+
+
+def tp_gather_rows(grid_local: jax.Array, row_idx: jax.Array, axis: str = "tp"):
+    """Inside ``shard_map``: gather global rows from a row-sharded table.
+
+    grid_local: (rows_per_shard, W) — this device's contiguous row shard.
+    row_idx: (N,) global row ids, replicated over ``axis``.
+    Returns (N, W) fully-reconstructed rows (replicated over ``axis``).
+    """
+    import jax.numpy as jnp
+
+    rows_per_shard = grid_local.shape[0]
+    shard = jax.lax.axis_index(axis)
+    local = row_idx - shard * rows_per_shard
+    in_range = (local >= 0) & (local < rows_per_shard)
+    rows = grid_local[jnp.clip(local, 0, rows_per_shard - 1)]
+    rows = jnp.where(in_range[:, None], rows, 0.0)
+    return jax.lax.psum(rows, axis)
+
+
+def tp_voxel_field(
+    mesh: Mesh, params, x, dirs, cfg, axis: str = "tp", batch_axis: Optional[str] = None
+):
+    """Voxel-field forward with the grid row-sharded over ``axis``.
+
+    ``params['grid']`` must be sharded ``P(axis)`` on the row dimension;
+    every other leaf is replicated.  When ``batch_axis`` names a second
+    mesh axis the sample batch shards over it (tp x dp: weights split one
+    way, rays the other — XLA keeps the psum on the tp sub-ring).
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    from ..nerf.voxelfield import pe_encode
+    from ..nerf.model import radiance
+
+    g = cfg.voxel_grid_size
+    f = cfg.voxel_features
+
+    def body(grid_local, others, x, dirs):
+        pos = jnp.clip(x, 0.0, 1.0 - 1e-6) * (g - 1)
+        cell = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - cell
+        row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+        rows = tp_gather_rows(grid_local, row_idx, axis)
+        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+        out = jnp.zeros((rows.shape[0], f), rows.dtype)
+        for c, (di, dj, dk) in enumerate(
+            (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
+        ):
+            w = (
+                (fx if di else 1.0 - fx)
+                * (fy if dj else 1.0 - fy)
+                * (fz if dk else 1.0 - fz)
+            )
+            out = out + rows[:, c * f : (c + 1) * f] * w[:, None]
+        pe = pe_encode(x, cfg.voxel_pe_freqs)
+        ct = cfg.compute_dtype
+        h = jnp.concatenate([out, pe], axis=-1).astype(ct)
+        h = jnp.maximum(h @ others["sigma_w0"].astype(ct), 0)
+        raw = (h @ others["sigma_w1"].astype(ct)).astype(jnp.float32)
+        sigma = jnp.exp(raw[..., 0])
+        rgb = radiance(others, raw[..., 1:], dirs, cfg)
+        return sigma, rgb
+
+    others = {k: v for k, v in params.items() if k != "grid"}
+    bspec = P(batch_axis) if batch_axis else P()
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(), bspec, bspec),
+        out_specs=(bspec, bspec),
+        check_rep=False,
+    )(params["grid"], others, x, dirs)

@@ -1,0 +1,77 @@
+"""Mesh/sharding helpers: tensor-parallel grid-sharded field equivalence.
+
+Runs on the 8-virtual-CPU-device mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nerf_prv_tpu.nerf import NerfConfig, init_params
+from nerf_prv_tpu.nerf.voxelfield import voxel_field
+from nerf_prv_tpu.parallel import make_mesh, shard_batch
+from nerf_prv_tpu.parallel.mesh import tp_voxel_field
+
+CFG = NerfConfig(voxel_grid_size=20, voxel_features=4, hidden=32)
+
+
+def _setup(n_samples=256):
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    params = {k: (v + 0.05 if k == "grid" else v) for k, v in params.items()}
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0.01, 0.99, (n_samples, 3)).astype(np.float32))
+    d = rng.normal(size=(n_samples, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    return params, x, d
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 1), (2, 4)])
+def test_tp_field_matches_replicated(tp, dp):
+    if tp * dp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    params, x, d = _setup()
+    mesh = make_mesh(("tp", "dp"), (tp, dp), jax.devices()[: tp * dp])
+    sharded = dict(params)
+    sharded["grid"] = jax.device_put(params["grid"], NamedSharding(mesh, P("tp")))
+    batch_axis = "dp" if dp > 1 else None
+    if batch_axis:
+        x = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        d = jax.device_put(d, NamedSharding(mesh, P("dp")))
+    sig_ref, rgb_ref = voxel_field(params, x, d, CFG)
+    sig_tp, rgb_tp = tp_voxel_field(mesh, sharded, x, d, CFG, batch_axis=batch_axis)
+    np.testing.assert_allclose(np.asarray(sig_tp), np.asarray(sig_ref), rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb_tp), np.asarray(rgb_ref), rtol=2e-2, atol=1e-3)
+
+
+def test_tp_field_gradients_match():
+    params, x, d = _setup(128)
+    mesh = make_mesh(("tp",), (2,), jax.devices()[:2])
+    sharded = dict(params)
+    sharded["grid"] = jax.device_put(params["grid"], NamedSharding(mesh, P("tp")))
+
+    def loss_ref(p):
+        s, rgb = voxel_field(p, x, d, CFG)
+        return jnp.sum(s) * 1e-3 + jnp.sum(rgb * rgb)
+
+    def loss_tp(p):
+        s, rgb = tp_voxel_field(mesh, p, x, d, CFG)
+        return jnp.sum(s) * 1e-3 + jnp.sum(rgb * rgb)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_tp = jax.grad(loss_tp)(sharded)
+    for k in g_ref:
+        a, b = np.asarray(g_ref[k]), np.asarray(g_tp[k])
+        scale = np.abs(a).max() + 1e-8
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-3), k
+
+
+def test_shard_batch_and_pad():
+    from nerf_prv_tpu.parallel.mesh import pad_to_multiple
+
+    mesh = make_mesh(("dp",))
+    x = np.arange(21, dtype=np.float32).reshape(21, 1)
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape[0] == 24 and n == 21
+    sx = shard_batch(jnp.asarray(padded), mesh)
+    assert sx.sharding.is_equivalent_to(NamedSharding(mesh, P("dp")), 2)
