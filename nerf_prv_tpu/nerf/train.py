@@ -166,7 +166,16 @@ def train(
             )
             losses.append(np.asarray(chunk_losses))
             steps_left -= n
-    return params, np.concatenate(losses) if losses else np.zeros(0)
+    all_losses = np.concatenate(losses) if losses else np.zeros(0)
+    if all_losses.size and not np.isfinite(all_losses[-min(100, all_losses.size):]).all():
+        # console-print QC in the reference's style (SURVEY.md §4): a
+        # diverged fit would otherwise silently poison the PSNR curve and
+        # every label derived from it downstream
+        print(
+            "[train] WARNING: non-finite losses in the final steps — "
+            "fit diverged; downstream metrics for this scene are suspect"
+        )
+    return params, all_losses
 
 
 def _frame_bucket(n: int) -> int:

@@ -129,3 +129,74 @@ def test_snapshot_roundtrip(tmp_path):
     m1 = eval_nerf(params, test_json, cfg)
     m2 = eval_nerf(loaded, test_json, cfg)
     assert m1["PSNR"] == pytest.approx(m2["PSNR"], abs=1e-5)
+
+
+def test_aux_probe_matches_mlp_probe(tmp_path):
+    """The two-level RenderAux probe must reproduce the direct-MLP probe's
+    renders on a trained field (tables are conservative approximations;
+    PSNR between the two renders should be high)."""
+    from nerf_prv_tpu.nerf.render import build_render_aux, render_views
+
+    train_json, test_json, _, _ = write_scene(
+        str(tmp_path), n_train=6, n_test=2, n_points=5000
+    )
+    cfg = dataclasses.replace(TINY, n_steps=150)
+    params, ds = train_nerf(train_json, cfg, seed=0)
+    test_ds = load_dataset(test_json, with_images=False)
+    org = jnp.asarray(test_ds.origins)
+    rot = jnp.asarray(test_ds.rotations)
+    with_aux = np.asarray(render_views(params, org, rot, test_ds.camera, cfg))
+    # force the aux-less (direct MLP probe) path through render_rays
+    from nerf_prv_tpu.nerf.render import render_rays
+    from nerf_prv_tpu.nerf.rays import pixel_dirs_cam
+
+    cam = test_ds.camera
+    u, v = jnp.meshgrid(
+        jnp.arange(cam.width, dtype=jnp.float32),
+        jnp.arange(cam.height, dtype=jnp.float32),
+    )
+    d_cam = pixel_dirs_cam(cam, u.reshape(-1), v.reshape(-1))
+    d = jnp.einsum("ij,nj->ni", rot[0], d_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(org[0][None], d.shape)
+    rgb, a = render_rays(params, o, d, cfg, aux=None)
+    no_aux = np.asarray(
+        jnp.concatenate([rgb, a[:, None]], -1).reshape(cam.height, cam.width, 4)
+    )
+    mse = float(np.mean((with_aux[0] - no_aux) ** 2))
+    assert mse < 1e-3, mse  # > 30 dB agreement between the probe paths
+
+
+def test_render_views_tile_path_wide_frame():
+    """w >= 512 takes the tile-compaction branch; output must match the
+    per-ray render of the same rays."""
+    from nerf_prv_tpu.core.config import CameraConfig
+    from nerf_prv_tpu.core.pose import camera_to_world
+    from nerf_prv_tpu.nerf.render import build_render_aux, render_rays, render_views
+    from nerf_prv_tpu.nerf.rays import pixel_dirs_cam
+
+    cfg = TINY
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = {k: (v + 0.3 if k == "grid" else v) for k, v in params.items()}
+    cam = CameraConfig(width=640, height=12, fx=100.0, fy=100.0, ppx=320.0, ppy=6.0, model=0)
+    rng = np.random.default_rng(2)
+    vv = rng.normal(size=(2, 3))
+    vv[:, 2] = np.abs(vv[:, 2])
+    vv /= np.linalg.norm(vv, axis=1, keepdims=True)
+    c2w = camera_to_world(vv * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    img = render_views(params, org, rot, cam, cfg, chunk=1024)
+    assert img.shape == (2, 12, 640, 4)
+
+    aux = build_render_aux(params, cfg)
+    u, v = jnp.meshgrid(
+        jnp.arange(640, dtype=jnp.float32), jnp.arange(12, dtype=jnp.float32)
+    )
+    d_cam = pixel_dirs_cam(cam, u.reshape(-1), v.reshape(-1))
+    d = jnp.einsum("ij,nj->ni", rot[1], d_cam)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(org[1][None], d.shape)
+    rgb, a = render_rays(params, o, d, cfg, aux=aux)
+    ref = np.asarray(jnp.concatenate([rgb, a[:, None]], -1).reshape(12, 640, 4))
+    np.testing.assert_allclose(np.asarray(img[1]), ref, atol=2e-3)
