@@ -38,8 +38,11 @@ def train_nerf(
 def save_snapshot(path: str, params: dict) -> None:
     """Persist trained field parameters (≙ ``--save_snapshot``,
     run.py:210-211 — present in the reference CLI though the pipeline
-    retrains from scratch each iteration)."""
-    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+    retrains from scratch each iteration).  Writes to ``path`` exactly
+    (``np.savez`` on a file object does not append ``.npz``, so
+    reference-style names like ``snap.ingp`` round-trip)."""
+    with open(path, "wb") as f:
+        np.savez(f, **{k: np.asarray(v) for k, v in params.items()})
 
 
 def load_snapshot(path: str) -> dict:
@@ -66,6 +69,9 @@ def eval_nerf(
         if isinstance(test_json, RayDataset)
         else load_dataset(test_json, with_images=True)
     )
+    from .render import build_render_aux
+
+    aux = build_render_aux(params, cfg)  # once per eval, not per group
     psnrs, ssims, mses = [], [], []
     group = 8  # frames rendered + scored per batched dispatch
     for start in range(0, ds.n_frames, group):
@@ -76,6 +82,7 @@ def eval_nerf(
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
+            aux=aux,
         )
         gt = ds.pixels[start:stop]
         gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
@@ -133,6 +140,9 @@ def screenshot_nerf(
 
     tf = load_transforms(render_json)
     os.makedirs(out_dir, exist_ok=True)
+    from .render import build_render_aux
+
+    aux = build_render_aux(params, cfg)  # once per screenshot set
     group = 16
     for start in range(0, ds.n_frames, group):
         stop = min(start + group, ds.n_frames)
@@ -142,6 +152,7 @@ def screenshot_nerf(
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
+            aux=aux,
         )
         rgba_all = np.asarray(
             jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.uint8)

@@ -97,6 +97,9 @@ def render_video(
     ds = load_dataset(camera_path_json, with_images=False)
     frames_dir = os.path.splitext(out_path)[0] + "_frames"
     os.makedirs(frames_dir, exist_ok=True)
+    from .render import build_render_aux
+
+    aux = build_render_aux(params, cfg)  # once per video, not per group
     group = 8
     count = 0
     for start in range(0, ds.n_frames, group):
@@ -107,6 +110,7 @@ def render_video(
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
+            aux=aux,
         )
         arr = np.asarray(jnp.clip(jnp.round(imgs[..., :3] * 255), 0, 255).astype(jnp.uint8))
         for i in range(stop - start):

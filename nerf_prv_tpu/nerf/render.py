@@ -54,6 +54,12 @@ def _build_render_aux_jit(params, cfg: NerfConfig) -> RenderAux:
     g = cfg.voxel_grid_size
     cs = lattice_corner_raw(params, cfg)  # (g^3, 8) f32
     cell_max = jnp.exp(jnp.max(cs, axis=-1)).reshape(g, g, g)
+    # cells with any index g-1 are never gathered (cell_and_frac caps the
+    # cell at g-2); their clipped-corner sigmas would otherwise leak
+    # phantom occupancy into the pooled volume at the +x/+y/+z boundary
+    cell_max = cell_max.at[g - 1, :, :].set(0.0)
+    cell_max = cell_max.at[:, g - 1, :].set(0.0)
+    cell_max = cell_max.at[:, :, g - 1].set(0.0)
     nb = -(-g // _PROBE_BLOCK)
     pad = nb * _PROBE_BLOCK - g
     cm = jnp.pad(cell_max, ((0, pad),) * 3)
@@ -91,22 +97,12 @@ def _cell_sigma_at(cell_raw: jnp.ndarray, pos: jnp.ndarray, g: int) -> jnp.ndarr
     """Sigma from trilinear RAW log-density interpolation at pos (N, S, 3):
     one 16-byte row gather per sample (exp after interpolation — the
     conservative side for saturation clamping, see lattice_corner_raw)."""
+    from .voxelfield import cell_and_frac, corner_weights
+
     n, s = pos.shape[:2]
-    p = jnp.clip(pos.reshape(-1, 3), 0.0, 1.0 - 1e-6) * (g - 1)
-    cell = jnp.floor(p).astype(jnp.int32)
-    frac = p - cell
-    row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    row_idx, frac = cell_and_frac(pos.reshape(-1, 3), g)
     rows = cell_raw[row_idx].astype(jnp.float32)  # (M, 8)
-    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-    w = jnp.stack(
-        [
-            (fx if di else 1.0 - fx) * (fy if dj else 1.0 - fy) * (fz if dk else 1.0 - fz)
-            for di in (0, 1)
-            for dj in (0, 1)
-            for dk in (0, 1)
-        ],
-        axis=-1,
-    )
+    w = corner_weights(frac)
     return jnp.exp(jnp.sum(rows * w, axis=-1)).reshape(n, s)
 
 
@@ -195,7 +191,12 @@ def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg)
     ``_tighten_interval``.
     """
     g = cfg.voxel_grid_size
-    n1, n2 = cfg.render_probe_coarse, cfg.render_probe_fine
+    # level-1 detection reach per sample is (1 + 2 dilation) * block = 12
+    # cells; keep sample spacing below it whatever the grid size (a chord
+    # spans up to ~1.04 * (g-1) cells)
+    reach = 3 * _PROBE_BLOCK
+    n1 = max(cfg.render_probe_coarse, -(-int(1.04 * (g - 1)) // reach))
+    n2 = cfg.render_probe_fine
     span = tmax - tmin
 
     base1 = (jnp.arange(n1, dtype=jnp.float32)[None, :] + 0.5) / n1
@@ -292,7 +293,16 @@ def render_rays(
     """
     training = key is not None
     n = origins.shape[0]
-    ns = cfg.n_samples if training else (cfg.render_n_samples or cfg.n_samples)
+    if training:
+        ns = cfg.n_samples
+    else:
+        ns = cfg.render_n_samples or cfg.n_samples
+        if aux is None:
+            # the 24-fine-sample default is only lossless with the
+            # two-level aux probe's tighter intervals (exp_pe.py); the
+            # MLP-probe fallback (hash field / cube bound) measured
+            # -0.08 dB at 24 vs 32 and keeps the larger count
+            ns = max(ns, 32)
     if cfg.bound == "sphere":
         tmin, tmax, valid = ray_sphere(origins, dirs)
     else:
@@ -397,6 +407,7 @@ def render_views(
     camera,
     cfg: NerfConfig,
     chunk: Optional[int] = None,
+    aux: Optional[RenderAux] = None,
 ):
     """Batched multi-frame render -> (F, H, W, 4).
 
@@ -418,7 +429,11 @@ def render_views(
         jnp.asarray(origins)[:, None, :], (n_frames, h * w, 3)
     ).reshape(-1, 3)
 
-    aux = build_render_aux(params, cfg) if cfg.render_coarse > 0 else None
+    if aux is None and cfg.render_coarse > 0:
+        # callers rendering one frame group; multi-group callers (eval,
+        # screenshots, video) build the aux once and pass it in — the
+        # tables depend only on the frozen params
+        aux = build_render_aux(params, cfg)
     n = n_frames * h * w
     # ray compaction: sort hit rays to the front (most coverage-image rays
     # miss the bounding sphere entirely — object pixel rates run 3-30%,
@@ -527,7 +542,10 @@ def _scatter_tiles(rgba_t, tidx, n_tiles, n_act):
     m = rgba_t.shape[0]
     safe = jnp.where(jnp.arange(m) < n_act, tidx, n_tiles)
     out = jnp.zeros((n_tiles, rgba_t.shape[1]), rgba_t.dtype)
-    return out.at[safe].set(rgba_t, unique_indices=True, mode="drop")
+    # no unique_indices promise: the padding rows all carry the same
+    # out-of-range index, and a backend exploiting the hint could corrupt
+    # tiles; drop-mode alone is sufficient and safe
+    return out.at[safe].set(rgba_t, mode="drop")
 
 
 @jax.jit

@@ -87,6 +87,54 @@ def pe_encode(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
     return enc.reshape(x.shape[:-1] + (6 * n_freqs,))
 
 
+# the 2x2x2 corner enumeration every row stores, in row-slice order
+CORNERS = tuple((i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1))
+
+
+def cell_and_frac(x: jnp.ndarray, g: int):
+    """[0,1]^3 positions -> (flat cell row index (N,), frac (N, 3))."""
+    pos = jnp.clip(x, 0.0, 1.0 - 1e-6) * (g - 1)
+    cell = jnp.floor(pos).astype(jnp.int32)
+    row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    return row_idx, pos - cell
+
+
+def corner_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear weights (N, 8) in CORNERS order."""
+    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
+    return jnp.stack(
+        [
+            (fx if di else 1.0 - fx)
+            * (fy if dj else 1.0 - fy)
+            * (fz if dk else 1.0 - fz)
+            for di, dj, dk in CORNERS
+        ],
+        axis=-1,
+    )
+
+
+def blend_rows(rows: jnp.ndarray, frac: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Blend gathered corner-block rows (N, 8*F) -> features (N, F).
+
+    Eight flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would tile
+    onto the (8, 128) registers with heavy padding.
+    """
+    w = corner_weights(frac)
+    out = jnp.zeros((rows.shape[0], f), rows.dtype)
+    for c in range(8):
+        out = out + rows[:, c * f : (c + 1) * f] * w[:, c : c + 1]
+    return out
+
+
+def density_mlp(params, feats: jnp.ndarray, x: jnp.ndarray, cfg) -> jnp.ndarray:
+    """(blended features, positions) -> raw (N, 1 + geo_features)."""
+    pe = pe_encode(x, cfg.voxel_pe_freqs)
+    ct = cfg.compute_dtype
+    h = jnp.concatenate([feats, pe], axis=-1).astype(ct)
+    h = jnp.maximum(h @ params["sigma_w0"].astype(ct), 0)
+    return (h @ params["sigma_w1"].astype(ct)).astype(jnp.float32)
+
+
 def init_voxel_params(key, cfg) -> Dict[str, Any]:
     """cfg: NerfConfig with voxel_grid_size / voxel_features set."""
     g = cfg.voxel_grid_size
@@ -115,11 +163,7 @@ def init_voxel_params(key, cfg) -> Dict[str, Any]:
 def _blend(params, x, cfg):
     """One gather per sample + in-register trilinear blend -> (N, F)."""
     g = cfg.voxel_grid_size
-    f = cfg.voxel_features
-    pos = jnp.clip(x, 0.0, 1.0 - 1e-6) * (g - 1)
-    cell = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - cell
-    row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+    row_idx, frac = cell_and_frac(x, g)
     if cfg.voxel_grad_impl == "sorted":
         rows = _gather_rows_sorted(params["grid"], row_idx, g * g * g)
     elif cfg.voxel_gather_dtype == "bf16":
@@ -127,20 +171,7 @@ def _blend(params, x, cfg):
         rows = _gather_rows_bf16(params["grid"], row_idx).astype(jnp.float32)
     else:
         rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
-    # blend as 8 flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would
-    # tile onto the (8, 128) registers with heavy padding
-    fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-    out = jnp.zeros((rows.shape[0], f), rows.dtype)
-    for c, (di, dj, dk) in enumerate(
-        (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
-    ):
-        w = (
-            (fx if di else 1.0 - fx)
-            * (fy if dj else 1.0 - fy)
-            * (fz if dk else 1.0 - fz)
-        )
-        out = out + rows[:, c * f : (c + 1) * f] * w[:, None]
-    return out
+    return blend_rows(rows, frac, cfg.voxel_features)
 
 
 def lattice_corner_raw(params, cfg) -> jnp.ndarray:
@@ -164,16 +195,12 @@ def lattice_corner_raw(params, cfg) -> jnp.ndarray:
         jnp.meshgrid(*([jnp.arange(g, dtype=jnp.float32)] * 3), indexing="ij"),
         axis=-1,
     ).reshape(-1, 3)
-    ct = cfg.compute_dtype
     sig = []
-    for c, (di, dj, dk) in enumerate(
-        (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
-    ):
-        corner = (cell + jnp.asarray([di, dj, dk], jnp.float32)) / (g - 1)
-        pe = pe_encode(jnp.clip(corner, 0.0, 1.0), cfg.voxel_pe_freqs)
-        h = jnp.concatenate([rows[:, c * f : (c + 1) * f], pe], axis=-1).astype(ct)
-        h = jnp.maximum(h @ params["sigma_w0"].astype(ct), 0)
-        raw = (h @ params["sigma_w1"].astype(ct)).astype(jnp.float32)[:, 0]
+    for c, (di, dj, dk) in enumerate(CORNERS):
+        corner = jnp.clip(
+            (cell + jnp.asarray([di, dj, dk], jnp.float32)) / (g - 1), 0.0, 1.0
+        )
+        raw = density_mlp(params, rows[:, c * f : (c + 1) * f], corner, cfg)[:, 0]
         sig.append(raw)
     return jnp.stack(sig, axis=-1)  # (g^3, 8)
 
@@ -182,11 +209,7 @@ def voxel_density_raw(params, x, cfg):
     from .model import NerfConfig  # noqa: F401 (type reference)
 
     feats = _blend(params, x, cfg)
-    pe = pe_encode(x, cfg.voxel_pe_freqs)
-    ct = cfg.compute_dtype
-    h = jnp.concatenate([feats, pe], axis=-1).astype(ct)
-    h = jnp.maximum(h @ params["sigma_w0"].astype(ct), 0)
-    out = (h @ params["sigma_w1"].astype(ct)).astype(jnp.float32)
+    out = density_mlp(params, feats, x, cfg)
     return out[..., 0], out[..., 1:]
 
 

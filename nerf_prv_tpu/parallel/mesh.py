@@ -102,34 +102,16 @@ def tp_voxel_field(
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
 
-    from ..nerf.voxelfield import pe_encode
     from ..nerf.model import radiance
+    from ..nerf.voxelfield import blend_rows, cell_and_frac, density_mlp
 
     g = cfg.voxel_grid_size
-    f = cfg.voxel_features
 
     def body(grid_local, others, x, dirs):
-        pos = jnp.clip(x, 0.0, 1.0 - 1e-6) * (g - 1)
-        cell = jnp.floor(pos).astype(jnp.int32)
-        frac = pos - cell
-        row_idx = (cell[:, 0] * g + cell[:, 1]) * g + cell[:, 2]
+        row_idx, frac = cell_and_frac(x, g)
         rows = tp_gather_rows(grid_local, row_idx, axis)
-        fx, fy, fz = frac[:, 0], frac[:, 1], frac[:, 2]
-        out = jnp.zeros((rows.shape[0], f), rows.dtype)
-        for c, (di, dj, dk) in enumerate(
-            (i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)
-        ):
-            w = (
-                (fx if di else 1.0 - fx)
-                * (fy if dj else 1.0 - fy)
-                * (fz if dk else 1.0 - fz)
-            )
-            out = out + rows[:, c * f : (c + 1) * f] * w[:, None]
-        pe = pe_encode(x, cfg.voxel_pe_freqs)
-        ct = cfg.compute_dtype
-        h = jnp.concatenate([out, pe], axis=-1).astype(ct)
-        h = jnp.maximum(h @ others["sigma_w0"].astype(ct), 0)
-        raw = (h @ others["sigma_w1"].astype(ct)).astype(jnp.float32)
+        feats = blend_rows(rows, frac, cfg.voxel_features)
+        raw = density_mlp(others, feats, x, cfg)
         sigma = jnp.exp(raw[..., 0])
         rgb = radiance(others, raw[..., 1:], dirs, cfg)
         return sigma, rgb

@@ -121,7 +121,7 @@ def test_snapshot_roundtrip(tmp_path):
     )
     cfg = dataclasses.replace(TINY, n_steps=20)
     params, _ = train_nerf(train_json, cfg, seed=0)
-    snap = str(tmp_path / "snap.npz")
+    snap = str(tmp_path / "snap.ingp")  # extension-less of .npz: must round-trip
     save_snapshot(snap, params)
     loaded = load_snapshot(snap)
     for k in params:
