@@ -88,10 +88,9 @@ def main():
     test_js = os.path.join(out_dir, "test.json")
 
     variants = {
-        "trainprobe32": NerfConfig(train_coarse=32),
-        "renderprobe32": NerfConfig(render_probe_fine=32),
-        "tp32+rp24": NerfConfig(train_coarse=32, render_probe_fine=24),
-        "tp32+ns48": NerfConfig(train_coarse=32, n_samples=48),
+        "blk2 rp32 (prod)": NerfConfig(),
+        "blk2 rp24": NerfConfig(render_probe_fine=24),
+        "blk2 rp20": NerfConfig(render_probe_fine=20),
     }
     for name, cfg in variants.items():
         t0 = time.perf_counter()

@@ -51,12 +51,14 @@ class NerfConfig:
     # range, then render_probe_fine samples of trilinear corner-sigma
     # (16-byte row gathers) tighten and saturation-clamp it
     render_probe_coarse: int = 8
-    # 32 fine probes, not 16: on thin geometry (1-2-cell rods/disks,
-    # experiments/exp_thin_geometry.py) 16 measured -0.31 dB vs a
-    # flat-96 no-probe reference while 32 recovers to -0.05; the blob
-    # scene hid this (the probe interval, not train tightening, was the
-    # quality knob — train_coarse=32 and n_samples=48 measured no gain)
-    render_probe_fine: int = 32
+    # 24 fine probes over 2-cell pooled blocks: on thin geometry
+    # (1-2-cell rods/disks, experiments/exp_thin_geometry.py) 16 probes
+    # over 4-cell blocks measured -0.31 dB vs a flat-96 no-probe
+    # reference; 2-cell level-1 blocks shorten the level-2 interval
+    # enough that 24 probes recover to -0.07 (32: -0.05).  The blob scene
+    # hid this — the probe interval, not train tightening, was the
+    # quality knob (train_coarse=32 / n_samples=48 measured no gain)
+    render_probe_fine: int = 24
     # training-time interval tightening: when > 0, every train step probes
     # density at this many no-gradient midpoints per ray and marches its
     # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a

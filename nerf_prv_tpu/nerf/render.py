@@ -21,7 +21,7 @@ from .rays import ray_aabb, ray_sphere
 
 MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
 
-_PROBE_BLOCK = 4  # cells per pooled occupancy block (render aux level 1)
+_PROBE_BLOCK = 2  # cells per pooled occupancy block (render aux level 1)
 
 
 class RenderAux(NamedTuple):
