@@ -35,6 +35,8 @@ class TrainConfig:
     weight_decay: float = 0.05
     epochs: int = 800
     loss_type: str = "L1"       # ≙ --loss_type L1 default path
+    warmup_epochs: int = 40     # ≙ --warmup_epochs
+    min_lr: float = 1e-6        # ≙ --min_lr
     min_label: int = 13
     max_label: int = 58
     seed: int = 0
@@ -54,9 +56,27 @@ def _wd_mask(params):
     return mask(params)
 
 
-def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: TrainConfig, params, steps_per_epoch: Optional[int] = None
+) -> optax.GradientTransformation:
+    """AdamW with the reference's warmup + cosine schedule
+    (≙ timm cosine_scheduler via utils, train_regression.py:261,292,606-611).
+    Falls back to a constant lr when ``steps_per_epoch`` is unknown."""
+    if steps_per_epoch:
+        total = max(cfg.epochs * steps_per_epoch, 2)
+        # the cosine segment (decay_steps - warmup_steps) must be non-empty
+        warmup = min(cfg.warmup_epochs * steps_per_epoch, total - 1)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=max(warmup, 1),
+            decay_steps=total,
+            end_value=cfg.min_lr,
+        )
+    else:
+        lr = cfg.lr
     return optax.adamw(
-        cfg.lr,
+        lr,
         b1=0.9,
         b2=0.999,
         weight_decay=cfg.weight_decay,
@@ -186,7 +206,8 @@ def train_regression(
         params, meta = load_checkpoint(best_path)
         best = meta.get("val", best)
 
-    optimizer = make_optimizer(cfg, params)
+    steps_per_epoch = max(-(-len(train_ds.names) // cfg.batch_size), 1)
+    optimizer = make_optimizer(cfg, params, steps_per_epoch)
     opt_state = optimizer.init(params)
     step = make_train_step(model, cfg, optimizer, mesh)
     predict = make_eval_step(model, cfg, mesh)
