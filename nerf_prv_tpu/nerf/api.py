@@ -45,11 +45,46 @@ def save_snapshot(path: str, params: dict) -> None:
         np.savez(f, **{k: np.asarray(v) for k, v in params.items()})
 
 
-def load_snapshot(path: str) -> dict:
+def load_snapshot(path: str, cfg: Optional[NerfConfig] = None) -> dict:
     """Load parameters saved by :func:`save_snapshot` (≙ ``--load_snapshot``,
-    run.py:123-127)."""
+    run.py:123-127).
+
+    Format note: this is OUR npz format.  It is NOT interoperable with the
+    reference's ``.ingp`` msgpack snapshots despite reference-style file
+    names — the reference's snapshots hold instant-ngp CUDA testbed state.
+    When ``cfg`` is given the loaded tree is validated against it
+    (:func:`validate_snapshot`), so a mismatched grid size or field_impl
+    fails here instead of as a shape error deep inside render.
+    """
     with np.load(path) as z:
-        return {k: jnp.asarray(z[k]) for k in z.files}
+        params = {k: jnp.asarray(z[k]) for k in z.files}
+    if cfg is not None:
+        validate_snapshot(params, cfg)
+    return params
+
+
+def validate_snapshot(params: dict, cfg: NerfConfig) -> None:
+    """Raise ValueError when a loaded parameter tree cannot belong to cfg."""
+    if cfg.field_impl == "voxel":
+        if "grid" not in params:
+            raise ValueError(
+                "snapshot has no 'grid' — not a voxel-field snapshot "
+                f"(keys: {sorted(params)}); cfg.field_impl='voxel'"
+            )
+        g = cfg.voxel_grid_size
+        want = (g * g * g, 8 * cfg.voxel_features)
+        got = tuple(params["grid"].shape)
+        if got != want:
+            raise ValueError(
+                f"snapshot grid shape {got} != cfg's {want} "
+                f"(voxel_grid_size={g}, voxel_features={cfg.voxel_features})"
+            )
+    elif cfg.field_impl == "hash":
+        if "table" not in params:
+            raise ValueError(
+                "snapshot has no 'table' — not a hash-field snapshot "
+                f"(keys: {sorted(params)}); cfg.field_impl='hash'"
+            )
 
 
 def eval_nerf(
@@ -190,7 +225,7 @@ def run(
     if n_steps is not None:
         cfg = dataclasses.replace(cfg, n_steps=n_steps)
     if load_snapshot_path:
-        params = load_snapshot(load_snapshot_path)
+        params = load_snapshot(load_snapshot_path, cfg)
     else:
         params, _ = train_nerf(scene, cfg, seed=seed)
     if save_snapshot_path:

@@ -23,6 +23,12 @@ MIN_TRANSMITTANCE = 1e-4  # ≙ render_min_transmittance (run.py:235)
 
 _PROBE_BLOCK = 2  # cells per pooled occupancy block (render aux level 1)
 
+# NerfConfig.render_n_samples dataclass default; render_rays bumps only this
+# value to 32 on the aux-less path (an explicit user setting is honored)
+from .model import NerfConfig as _NC
+_RENDER_NS_DEFAULT = _NC.__dataclass_fields__["render_n_samples"].default
+del _NC
+
 
 class RenderAux(NamedTuple):
     """Per-render-pass precomputed occupancy tables (see build_render_aux)."""
@@ -191,9 +197,14 @@ def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg)
     ``_tighten_interval``.
     """
     g = cfg.voxel_grid_size
-    # level-1 detection reach per sample is (1 + 2 dilation) * block = 12
-    # cells; keep sample spacing below it whatever the grid size (a chord
-    # spans up to ~1.04 * (g-1) cells)
+    # level-1 detection reach per sample is (1 + 2 dilation) * block
+    # = 3 * _PROBE_BLOCK = 6 cells; keep sample spacing below it whatever
+    # the grid size (a chord spans up to ~1.04 * (g-1) cells).  Note the
+    # occupancy tables are *approximations* of the field, not conservative
+    # bounds: block-max/trilinear values come from corner sigmas, and the
+    # MLP's nonlinear blend can exceed them mid-cell.  The margins below
+    # plus the thin-geometry stress test (experiments/exp_thin_geometry.py)
+    # bound the miss risk empirically.
     reach = 3 * _PROBE_BLOCK
     n1 = max(cfg.render_probe_coarse, -(-int(1.04 * (g - 1)) // reach))
     n2 = cfg.render_probe_fine
@@ -297,11 +308,13 @@ def render_rays(
         ns = cfg.n_samples
     else:
         ns = cfg.render_n_samples or cfg.n_samples
-        if aux is None:
+        if aux is None and cfg.render_n_samples == _RENDER_NS_DEFAULT:
             # the 24-fine-sample default is only lossless with the
             # two-level aux probe's tighter intervals (exp_pe.py); the
             # MLP-probe fallback (hash field / cube bound) measured
-            # -0.08 dB at 24 vs 32 and keeps the larger count
+            # -0.08 dB at 24 vs 32 and gets the larger count.  Only the
+            # *default* is bumped — an explicit render_n_samples is
+            # honored on every path.
             ns = max(ns, 32)
     if cfg.bound == "sphere":
         tmin, tmax, valid = ray_sphere(origins, dirs)

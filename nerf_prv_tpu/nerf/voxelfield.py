@@ -58,8 +58,11 @@ def _gather_rows_bf16(grid: jnp.ndarray, row_idx: jnp.ndarray):
     v5e gathers run ~15-25% faster on half-width rows (measured in
     experiments/exp_vmem_gather.py: 260 -> 300+ M rows/s); the one-time
     bf16 rounding of grid values is far below the field's noise floor.
-    The backward scatter-add stays float32 (scatter rate is row-count
-    bound, not byte bound, so full-precision accumulation is free).
+    Precision note: the output is bf16, so each sample's cotangent arrives
+    in the backward pass already bf16-rounded; only the *accumulation* of
+    those per-contribution gradients (the scatter-add) runs in float32.
+    tests/test_nerf.py::test_bf16_gather_grad_close_to_f32 bounds the
+    resulting gradient error against the full-f32 path.
     """
     return grid.astype(jnp.bfloat16)[row_idx]
 

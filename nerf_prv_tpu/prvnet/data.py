@@ -109,3 +109,17 @@ class PVBPretrainDataset:
         img = load_rgb(os.path.join(d, f"rgbaClip_{j}.png"), self.crop)
         label = int(np.loadtxt(os.path.join(d, "view_budget.txt")))
         return img, label
+
+    def batches(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None, drop_last: bool = False
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """(imgs (B,H,W,3), labels (B,)) minibatches, shuffled when given rng."""
+        order = np.arange(len(self))
+        if rng is not None:
+            rng.shuffle(order)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            imgs, labels = zip(*(self[i] for i in idx))
+            yield np.stack(imgs), np.asarray(labels, np.float32)

@@ -58,6 +58,16 @@ def make_pvbnet(arch: str = "convnextv2_tiny", num_classes: int = 1000) -> PVBNe
     return PVBNet(encoder=MODELS[arch](num_classes=num_classes))
 
 
+def make_pvbpretrain(
+    arch: str = "convnextv2_tiny", num_classes: int = 1000
+) -> PVBPretrain:
+    """Single-view pretrain model (≙ ``--pre_train``,
+    train_regression.py:50-65,578-581)."""
+    from .convnextv2 import MODELS
+
+    return PVBPretrain(encoder=MODELS[arch](num_classes=num_classes))
+
+
 def logits_to_budget(logits, min_label: int = 13, max_label: int = 58):
     """Sigmoid-rescaled prediction (≙ infer_server.py:92-94,
     train_regression.py:452-455)."""

@@ -36,7 +36,12 @@ class TrainConfig:
     epochs: int = 800
     loss_type: str = "L1"       # ≙ --loss_type L1 default path
     warmup_epochs: int = 40     # ≙ --warmup_epochs
-    min_lr: float = 1e-6        # ≙ --min_lr
+    min_lr: float = 0.0         # ≙ --min_lr default (train_regression.py:446)
+    # the reference DEFINES a warmup+cosine schedule but the per-step
+    # adjust_learning_rate call is commented out (train_regression.py:449)
+    # — it actually trains at constant args.lr; keep that behavior by
+    # default and offer the schedule as an opt-in improvement
+    use_schedule: bool = False
     min_label: int = 13
     max_label: int = 58
     seed: int = 0
@@ -59,10 +64,12 @@ def _wd_mask(params):
 def make_optimizer(
     cfg: TrainConfig, params, steps_per_epoch: Optional[int] = None
 ) -> optax.GradientTransformation:
-    """AdamW with the reference's warmup + cosine schedule
-    (≙ timm cosine_scheduler via utils, train_regression.py:261,292,606-611).
-    Falls back to a constant lr when ``steps_per_epoch`` is unknown."""
-    if steps_per_epoch:
+    """AdamW at constant lr by default — matching the reference's *actual*
+    behavior: its warmup+cosine ``adjust_learning_rate`` call is commented
+    out (train_regression.py:449), so it trains at constant args.lr.
+    ``cfg.use_schedule`` opts into the (dormant) warmup+cosine schedule the
+    reference defines but never runs; it needs ``steps_per_epoch``."""
+    if cfg.use_schedule and steps_per_epoch:
         total = max(cfg.epochs * steps_per_epoch, 2)
         # the cosine segment (decay_steps - warmup_steps) must be non-empty
         warmup = min(cfg.warmup_epochs * steps_per_epoch, total - 1)
@@ -182,12 +189,21 @@ def train_regression(
     checkpoint_dir: str = "checkpoints",
     log_every: int = 10,
     mesh=None,
+    premodel_file: Optional[str] = None,
+    imagenet: bool = False,
 ) -> Tuple[dict, Dict[str, float]]:
     """Full trainer (≙ main(), train_regression.py:478-683).
 
     Returns (best params, best val metrics).  ``checkpoint_dir`` receives
     ``best_checkpoint.msgpack`` plus periodic epoch checkpoints; an existing
     best checkpoint is auto-resumed (≙ --auto_resume).
+
+    ``premodel_file`` initializes the encoder before training
+    (≙ ``--premodel_file``/``--ImageNet``, train_regression.py:617-630):
+    a ``.msgpack`` path loads a Flax :func:`pretrain` checkpoint's encoder;
+    anything else is torch-loaded and converted — ``imagenet=True`` for an
+    official ImageNet ConvNeXt-V2 checkpoint (plain keys), ``False`` for an
+    ``encoder.``-prefixed PVB checkpoint.
     """
     from .model import IMG_PATTERN
 
@@ -205,6 +221,17 @@ def train_regression(
     if os.path.exists(best_path):  # auto-resume (≙ utils.auto_load_model)
         params, meta = load_checkpoint(best_path)
         best = meta.get("val", best)
+    elif premodel_file:
+        from .infer import load_flax_encoder, load_pretrained_encoder
+
+        if premodel_file.endswith(".msgpack"):
+            pre_params, _ = load_checkpoint(premodel_file)
+            params = load_flax_encoder(params, pre_params)
+        else:
+            import torch
+
+            ckpt = torch.load(premodel_file, map_location="cpu", weights_only=False)
+            params = load_pretrained_encoder(params, ckpt, imagenet)
 
     steps_per_epoch = max(-(-len(train_ds.names) // cfg.batch_size), 1)
     optimizer = make_optimizer(cfg, params, steps_per_epoch)
@@ -235,6 +262,93 @@ def train_regression(
         if epoch % log_every == 0 or epoch == cfg.epochs - 1:
             print(
                 f"epoch {epoch}: loss {np.mean(losses):.4f} "
+                f"val acc {metrics['accuracy']:.3f} "
+                f"l1 {metrics['l1_mean']:.3f}±{metrics['l1_std']:.3f}"
+            )
+        if metrics["l1_mean"] < best.get("l1_mean", float("inf")):
+            best = metrics
+            save_checkpoint(best_path, params, {"val": metrics, "epoch": epoch})
+    return params, best
+
+
+def pretrain(
+    dataset_root: str,
+    train_split: str,
+    val_split: Optional[str] = None,
+    cfg: Optional[TrainConfig] = None,
+    checkpoint_dir: str = "checkpoints",
+    log_every: int = 10,
+    mesh=None,
+    viewspace_size: int = 64,
+) -> Tuple[dict, Dict[str, float]]:
+    """Single-view PVBPretrain stage (≙ ``--pre_train``,
+    train_regression.py:23,50-65,101-167,578-581): every one of the 64
+    coverage views is an independent (image, budget) sample; the loss is the
+    same sigmoid-rescaled [13,58] regression as the K-view trainer.  The
+    resulting checkpoint's ``encoder`` subtree seeds PVBNet training via
+    :func:`..prvnet.infer.load_flax_encoder`.
+
+    Writes ``best_pretrain_checkpoint.msgpack``; returns (best params,
+    best val metrics) — val falls back to train-split metrics when no
+    ``val_split`` is given.
+    """
+    import json
+
+    from .data import PVBPretrainDataset
+    from .model import make_pvbpretrain
+
+    cfg = cfg or TrainConfig()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+
+    train_ds = PVBPretrainDataset(
+        dataset_root, train_split, viewspace_size=viewspace_size, crop=cfg.image_size
+    )
+    val_ds = (
+        PVBPretrainDataset(
+            dataset_root, val_split, viewspace_size=viewspace_size, crop=cfg.image_size
+        )
+        if val_split
+        else train_ds
+    )
+
+    model = make_pvbpretrain(cfg.arch)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(cfg.seed), dummy)["params"]
+
+    best_path = os.path.join(checkpoint_dir, "best_pretrain_checkpoint.msgpack")
+    best = {"accuracy": -1.0, "l1_mean": float("inf")}
+    if os.path.exists(best_path):  # auto-resume (≙ utils.auto_load_model)
+        params, meta = load_checkpoint(best_path)
+        best = meta.get("val", best)
+
+    steps_per_epoch = max(-(-len(train_ds) // cfg.batch_size), 1)
+    optimizer = make_optimizer(cfg, params, steps_per_epoch)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, cfg, optimizer, mesh)
+    predict = make_eval_step(model, cfg, mesh)
+
+    rng = np.random.default_rng(cfg.seed)
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    log_path = os.path.join(checkpoint_dir, "pretrain_log.jsonl")
+    for epoch in range(cfg.epochs):
+        losses = []
+        for imgs, labels in train_ds.batches(cfg.batch_size, rng=rng):
+            imgs, n_real = pad_to_multiple(imgs, n_dev)
+            labels, _ = pad_to_multiple(labels, n_dev)
+            params, opt_state, loss = step(params, opt_state, imgs, labels)
+            losses.append(float(loss))
+        metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
+        with open(log_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {"epoch": epoch, "train_loss": float(np.mean(losses)), **metrics}
+                )
+                + "\n"
+            )
+        if epoch % log_every == 0 or epoch == cfg.epochs - 1:
+            print(
+                f"pretrain epoch {epoch}: loss {np.mean(losses):.4f} "
                 f"val acc {metrics['accuracy']:.3f} "
                 f"l1 {metrics['l1_mean']:.3f}±{metrics['l1_std']:.3f}"
             )

@@ -129,6 +129,46 @@ def test_snapshot_roundtrip(tmp_path):
     m1 = eval_nerf(params, test_json, cfg)
     m2 = eval_nerf(loaded, test_json, cfg)
     assert m1["PSNR"] == pytest.approx(m2["PSNR"], abs=1e-5)
+    # cfg-aware load validates shapes: a mismatched grid config fails fast
+    # instead of as a shape error deep inside render (ADVICE r1)
+    load_snapshot(snap, cfg)  # matching cfg passes
+    bad = dataclasses.replace(cfg, voxel_grid_size=cfg.voxel_grid_size + 2)
+    with pytest.raises(ValueError, match="grid shape"):
+        load_snapshot(snap, bad)
+    with pytest.raises(ValueError, match="hash-field"):
+        load_snapshot(snap, dataclasses.replace(cfg, field_impl="hash"))
+
+
+def test_bf16_gather_grad_close_to_f32(tmp_path):
+    """Gradients through the bf16 gather view stay close to the full-f32
+    path: per-contribution cotangents are bf16-rounded before the f32
+    scatter accumulation, so the error is bounded by bf16's ~3 decimal
+    digits, not by accumulation order (ADVICE r1, voxelfield.py)."""
+    cfg16 = dataclasses.replace(TINY, voxel_gather_dtype="bf16")
+    cfg32 = dataclasses.replace(TINY, voxel_gather_dtype="f32")
+    params = init_params(jax.random.PRNGKey(0), cfg32)
+    # give the grid non-trivial values so gradients have real magnitude
+    params["grid"] = jax.random.normal(jax.random.PRNGKey(1), params["grid"].shape) * 0.1
+    n = 256
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    o = jnp.concatenate(
+        [jax.random.uniform(k1, (n, 2)), jnp.full((n, 1), -0.5)], axis=-1
+    )
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    tgt = jax.random.uniform(k2, (n, 3))
+
+    def loss(p, cfg):
+        rgb, _ = render_rays(p, o, d, cfg, key=jax.random.PRNGKey(3))
+        return jnp.mean((rgb - tgt) ** 2)
+
+    g16 = jax.grad(lambda p: loss(p, cfg16))(params)
+    g32 = jax.grad(lambda p: loss(p, cfg32))(params)
+    for k in g32:
+        a, b = np.asarray(g16[k], np.float64), np.asarray(g32[k], np.float64)
+        denom = np.abs(b).max() + 1e-12
+        # bf16 rounds each contribution to ~3 decimal digits; per-entry
+        # error relative to the tree's max-magnitude gradient stays <10%
+        assert np.abs(a - b).max() / denom < 0.10, (k, np.abs(a - b).max(), denom)
 
 
 def test_aux_probe_matches_mlp_probe(tmp_path):

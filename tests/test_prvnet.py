@@ -151,14 +151,17 @@ def test_torch_checkpoint_converter_structure():
 
 
 def test_optimizer_schedule_warmup_cosine():
-    """make_optimizer with steps_per_epoch builds warmup->peak->cosine->min_lr
-    (≙ the reference's timm cosine_scheduler)."""
+    """make_optimizer defaults to constant lr (the reference's actual
+    behavior: its adjust_learning_rate call is commented out,
+    train_regression.py:449); use_schedule=True opts into the dormant
+    warmup->peak->cosine->min_lr schedule the reference defines."""
     import optax
 
     from nerf_prv_tpu.prvnet.train import TrainConfig, make_optimizer
 
     cfg = TrainConfig(arch="convnextv2_atto", epochs=10, warmup_epochs=2,
-                      batch_size=4, blr=1e-2, image_size=32)
+                      batch_size=4, blr=1e-2, image_size=32,
+                      use_schedule=True)
     # rebuild the schedule the optimizer uses and check its shape
     spe = 5
     total = cfg.epochs * spe
@@ -178,9 +181,166 @@ def test_optimizer_schedule_warmup_cosine():
     params = {"w": jnp.ones((3, 3)), "b": jnp.zeros((3,))}
     for epochs in (10, 1):
         c = TrainConfig(arch="convnextv2_atto", epochs=epochs, warmup_epochs=40,
-                        batch_size=4, image_size=32)
+                        batch_size=4, image_size=32, use_schedule=True)
         opt = make_optimizer(c, params, steps_per_epoch=spe)
         state = opt.init(params)
         g = jax.tree.map(jnp.ones_like, params)
         updates, _ = opt.update(g, state, params)
         assert jnp.isfinite(updates["w"]).all()
+
+    # default (use_schedule=False): constant lr — step 0 already updates at
+    # full magnitude (a warmup schedule would start at lr=0)
+    c = TrainConfig(arch="convnextv2_atto", batch_size=4, image_size=32)
+    opt = make_optimizer(c, params, steps_per_epoch=spe)
+    state = opt.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(g, state, params)
+    assert float(jnp.max(jnp.abs(updates["w"]))) > 0.5 * c.lr
+
+
+def _flax_encoder_to_torch_sd(enc, rng):
+    """Inverse-map a Flax atto encoder tree into a torch-format state dict
+    with FRESH random values (so loading provably replaces the init)."""
+    sd = {}
+
+    def torch_key(path, leaf):
+        name = path[0]
+        if name == "stem_conv":
+            return ("downsample_layers.0.0." + ("weight" if path[1] == "kernel" else "bias"),
+                    leaf.transpose(3, 2, 0, 1) if path[1] == "kernel" else leaf)
+        if name == "stem_norm":
+            return ("downsample_layers.0.1." + ("weight" if path[1] == "scale" else "bias"), leaf)
+        if name.startswith("downsample_norm"):
+            s = name[len("downsample_norm"):]
+            return (f"downsample_layers.{s}.0." + ("weight" if path[1] == "scale" else "bias"), leaf)
+        if name.startswith("downsample_conv"):
+            s = name[len("downsample_conv"):]
+            return (f"downsample_layers.{s}.1." + ("weight" if path[1] == "kernel" else "bias"),
+                    leaf.transpose(3, 2, 0, 1) if path[1] == "kernel" else leaf)
+        if name.startswith("stage"):
+            stage, block = name.split("_")
+            s, b = stage[len("stage"):], block[len("block"):]
+            mod, p = path[1], path[2]
+            if mod == "dwconv":
+                return (f"stages.{s}.{b}.dwconv." + ("weight" if p == "kernel" else "bias"),
+                        leaf.transpose(3, 2, 0, 1) if p == "kernel" else leaf)
+            if mod == "norm":
+                return (f"stages.{s}.{b}.norm." + ("weight" if p == "scale" else "bias"), leaf)
+            if mod in ("pwconv1", "pwconv2"):
+                return (f"stages.{s}.{b}.{mod}." + ("weight" if p == "kernel" else "bias"),
+                        leaf.T if p == "kernel" else leaf)
+            if mod == "grn":
+                return (f"stages.{s}.{b}.grn.{p}", leaf.reshape(leaf.shape))
+        if name == "head_norm":
+            return ("norm." + ("weight" if path[1] == "scale" else "bias"), leaf)
+        if name == "head":
+            return ("head." + ("weight" if path[1] == "kernel" else "bias"),
+                    leaf.T if path[1] == "kernel" else leaf)
+        raise KeyError(path)
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+        else:
+            fresh = rng.normal(size=np.shape(tree)).astype(np.float32) * 0.05
+            k, v = torch_key(path, fresh)
+            sd[k] = v
+
+    walk(enc, ())
+    return sd
+
+
+def test_imagenet_encoder_loader_full_tree():
+    """load_pretrained_encoder(imagenet=True) converts a full torch-format
+    ConvNeXt-V2 state dict into the Flax encoder with every leaf carried
+    over, and changes the model's forward output (≙ --premodel_file
+    --ImageNet, train_regression.py:617-621)."""
+    from nerf_prv_tpu.prvnet import load_pretrained_encoder
+
+    model, params = init_model(SMALL, n_views=2, image_size=64)
+    rng = np.random.default_rng(7)
+    sd = _flax_encoder_to_torch_sd(params["encoder"], rng)
+
+    loaded = load_pretrained_encoder(params, {"model": sd}, imagenet=True)
+    # structure preserved, values replaced
+    flat_old = jax.tree.leaves(params["encoder"])
+    flat_new = jax.tree.leaves(loaded["encoder"])
+    assert len(flat_old) == len(flat_new)
+    assert all(a.shape == np.shape(b) for a, b in zip(flat_new, flat_old))
+    changed = sum(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(flat_new, flat_old)
+    )
+    assert changed > len(flat_new) // 2
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 64, 64, 3))
+    y0 = model.apply({"params": params}, x)
+    y1 = model.apply({"params": loaded}, x)
+    assert np.isfinite(np.asarray(y1)).all()
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+    # round-trip exactness on a spot leaf: stem conv kernel comes back
+    # OIHW->HWIO transposed, bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["stem_conv"]["kernel"]),
+        sd["downsample_layers.0.0.weight"].transpose(2, 3, 1, 0),
+    )
+
+
+def test_pvb_prefixed_encoder_loader_and_strictness():
+    """imagenet=False strips module.encoder./encoder. prefixes
+    (≙ key[15:]/key[8:] at train_regression.py:623-630); missing or
+    misshapen keys raise instead of silently partial-loading."""
+    from nerf_prv_tpu.prvnet import load_pretrained_encoder
+
+    model, params = init_model(SMALL, n_views=2, image_size=64)
+    rng = np.random.default_rng(8)
+    plain = _flax_encoder_to_torch_sd(params["encoder"], rng)
+    prefixed = {"module.encoder." + k: v for k, v in plain.items()}
+    prefixed["module.fc_layer.0.weight"] = np.zeros((4, 4), np.float32)  # ignored
+
+    a = load_pretrained_encoder(params, {"model": plain}, imagenet=True)
+    b = load_pretrained_encoder(params, prefixed, imagenet=False)
+    for la, lb in zip(jax.tree.leaves(a["encoder"]), jax.tree.leaves(b["encoder"])):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    incomplete = dict(plain)
+    incomplete.pop("downsample_layers.0.0.weight")
+    with pytest.raises(ValueError, match="missing"):
+        load_pretrained_encoder(params, {"model": incomplete}, imagenet=True)
+    wrong = dict(plain)
+    wrong["downsample_layers.0.0.weight"] = np.zeros((1, 2, 3, 4), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        load_pretrained_encoder(params, {"model": wrong}, imagenet=True)
+
+
+def test_pretrain_smoke_and_encoder_handoff(tmp_path):
+    """pretrain() trains PVBPretrain on every-view samples
+    (≙ --pre_train, train_regression.py:101-167) and its checkpoint's
+    encoder seeds train_regression via premodel_file=...msgpack."""
+    from nerf_prv_tpu.prvnet import load_checkpoint, pretrain
+
+    names = ["obj0", "obj1"]
+    root = str(tmp_path / "ds")
+    _write_fake_dataset(root, names, [20, 40], n_imgs=4)
+    (tmp_path / "split.txt").write_text("\n".join(names))
+
+    cfg = TrainConfig(arch="convnextv2_atto", batch_size=4, epochs=2, image_size=64)
+    ckpt_dir = str(tmp_path / "ckpt")
+    params, best = pretrain(
+        root, str(tmp_path / "split.txt"), cfg=cfg,
+        checkpoint_dir=ckpt_dir, log_every=100, viewspace_size=4,
+    )
+    assert np.isfinite(best["l1_mean"])
+    pre_path = os.path.join(ckpt_dir, "best_pretrain_checkpoint.msgpack")
+    assert os.path.exists(pre_path)
+
+    # handoff: regression training starts from the pretrained encoder
+    pre_params, _ = load_checkpoint(pre_path)
+    params2, best2 = train_regression(
+        root, str(tmp_path / "split.txt"), str(tmp_path / "split.txt"),
+        cfg=cfg, pattern=IMG_PATTERN[1],
+        checkpoint_dir=str(tmp_path / "ckpt2"), log_every=100,
+        premodel_file=pre_path,
+    )
+    assert np.isfinite(best2["l1_mean"])
