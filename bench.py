@@ -10,13 +10,30 @@ standard per-object protocol mix — 2,500 training steps x 4,096 rays
 (DefaultConfiguration.yaml:19) plus 100 test-view renders at 1280x720
 (run.py:213-277) — computed from separately measured train and render rates.
 
+The workload is a production-representative object scene (a colored blob
+spanning ~8% of the frame at the reference's camera/orbit geometry —
+object pixel rates run 3-30%, DefaultConfiguration.yaml object_pixel_rate),
+rendered through the real coverage pipeline into rgbaClip PNGs +
+transforms.json.  Rendering a trained field on such a scene exercises the
+tile compaction the production NBV loop relies on, exactly as instant-ngp's
+occupancy grid exercises empty-space skipping in the reference protocol.
+The `psnr` detail field guards against degenerate speed (an empty field
+renders fast but scores ~11 dB).
+
+Also measured: the batched dataset-generation rate — the PRV dataset
+pipeline trains ~3000 objects x ~25 view counts, and the production path
+trains K objects simultaneously on the dp axis (nerf/batch_train.py); the
+single-object protocol underuses the chip.
+
 Timing discipline (axon tunnel): block_until_ready does not synchronize, so
 every phase is scan-amortized or batched and synchronized by a host readback;
 warmup calls use the IDENTICAL static shapes as the measured calls, otherwise
 the ~20 s remote compile pollutes the measurement.
 """
 
+import dataclasses
 import json
+import os
 import time
 
 import numpy as np
@@ -28,43 +45,56 @@ PROTOCOL_TRAIN_STEPS = 2500
 PROTOCOL_EVAL_FRAMES = 100
 N_CANDIDATES = 540  # largest hemisphere view space (PRV_simulation/Hemisphere)
 
+SCENE_DIR = "/tmp/bench_scene_v2"
+BATCH_OBJECTS = 4  # K simultaneously-trained NeRFs for the batched rate
+
+
+def _scene(camera):
+    """Production-res coverage scene (cached across runs)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from synthetic import write_scene
+
+    train_js = os.path.join(SCENE_DIR, "train.json")
+    test_js = os.path.join(SCENE_DIR, "test.json")
+    if not (os.path.exists(train_js) and os.path.exists(test_js)):
+        write_scene(
+            SCENE_DIR, n_train=16, n_test=8, camera=camera, point_size=3,
+            n_points=120000,
+        )
+    return train_js, test_js
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from nerf_prv_tpu.core.config import CameraConfig
-    from nerf_prv_tpu.core.pose import camera_to_world
     from nerf_prv_tpu.core.transforms import scaled_camera
     from nerf_prv_tpu.nerf import NerfConfig, init_params
+    from nerf_prv_tpu.nerf.api import eval_nerf
+    from nerf_prv_tpu.nerf.rays import load_dataset
     from nerf_prv_tpu.nerf.render import render_views
     from nerf_prv_tpu.nerf.train import make_optimizer, train_chunk
     from nerf_prv_tpu.pipeline import score_candidates_rgb_density
 
     cfg = NerfConfig()  # voxel field production defaults
     camera = CameraConfig()
-    rng = np.random.default_rng(0)
 
-    n_frames = 16
+    train_js, test_js = _scene(camera)
+    ds = load_dataset(train_js, with_images=True)
     h, w = camera.height, camera.width
-    pixels = rng.integers(0, 255, (n_frames, h, w, 4), dtype=np.uint8)
-
-    def views_of(n):
-        v = rng.normal(size=(n, 3))
-        v[:, 2] = np.abs(v[:, 2])
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        c2w = camera_to_world(v * 0.3, np.zeros(3) + 1e-4)
-        scale, offset = 0.5 / 0.1, np.array([0.5, 0.5, 0.5])
-        rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
-        org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * scale + offset, jnp.float32)
-        return rot, org
-
-    rot_j, org_j = views_of(n_frames)
+    n_frames = ds.n_frames
+    pixels_j = jnp.asarray(
+        np.clip(np.asarray(ds.pixels) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    )
+    rot_j = jnp.asarray(ds.rotations, jnp.float32)
+    org_j = jnp.asarray(ds.origins, jnp.float32)
 
     key = jax.random.PRNGKey(0)
     params = init_params(key, cfg)
     opt_state = make_optimizer(cfg).init(params)
-    pixels_j = jnp.asarray(pixels)
 
     def sync(x):
         return float(np.asarray(jnp.sum(x)))
@@ -73,8 +103,6 @@ def main():
     # the production trainer runs two phases (train.py): train_warmup_steps
     # of flat marching while geometry forms, then probe-tightened steps;
     # measure each phase's steady-state rate and combine per the protocol
-    import dataclasses
-
     steps_meas = 500
     warm_cfg = (
         dataclasses.replace(cfg, train_coarse=0, n_samples=cfg.train_warmup_samples)
@@ -106,21 +134,39 @@ def main():
     train_rate = PROTOCOL_TRAIN_STEPS * cfg.train_rays / t_train  # rays/s
 
     # ---- render rate (batched frames, one ray stream) ---------------------
+    # params now carry ~2000 steps of training on the bench object: the
+    # render measures the eval protocol's true workload (trained field,
+    # production camera orbit, tile compaction on the object silhouette)
+    from nerf_prv_tpu.nerf.render import build_render_aux
+
+    aux = build_render_aux(params, cfg)
     n_render = 8
-    imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg)
+    imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg, aux=aux)
     sync(imgs[..., 3])  # warm
     t0 = time.perf_counter()
-    imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg)
+    imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg, aux=aux)
     sync(imgs[..., 3])
     t_render = time.perf_counter() - t0
     render_rate = n_render * h * w / t_render  # rays/s
 
+    # ---- quality gate: the protocol eval on the held-out test views --------
+    metrics = eval_nerf(params, test_js, cfg)
+
     # ---- candidate-view scoring (<1 s/object target) ----------------------
+    from nerf_prv_tpu.core.pose import camera_to_world
+
     cam_lo = scaled_camera(camera, 16.0)
-    rot_c, org_c = views_of(N_CANDIDATES)
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(N_CANDIDATES, 3))
+    v[:, 2] = np.abs(v[:, 2])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    c2w = camera_to_world(v * 0.3, np.zeros(3) + 1e-4)
+    scale, offset = 0.5 / 0.1, np.array([0.5, 0.5, 0.5])
+    rot_c = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org_c = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * scale + offset, jnp.float32)
 
     def score_once():
-        imgs = render_views(params, org_c, rot_c, cam_lo, cfg)
+        imgs = render_views(params, org_c, rot_c, cam_lo, cfg, aux=aux)
         u8 = jnp.clip(imgs * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
         return sync(score_candidates_rgb_density(u8[:, None]))
 
@@ -128,6 +174,34 @@ def main():
     t0 = time.perf_counter()
     score_once()
     t_score = time.perf_counter() - t0
+
+    # ---- batched dataset-generation rate (K objects at once) --------------
+    from nerf_prv_tpu.nerf.batch_train import _train_chunk_batched
+
+    k = BATCH_OBJECTS
+    kp = jax.vmap(lambda kk: init_params(kk, cfg))(
+        jax.random.split(jax.random.PRNGKey(7), k)
+    )
+    ks = jax.vmap(make_optimizer(cfg).init)(kp)
+    # K copies of the scene stand in for K distinct objects: shapes (and
+    # therefore rates) are identical, object content does not affect the
+    # fixed-shape train step
+    bpix = jnp.broadcast_to(pixels_j[None], (k,) + pixels_j.shape)
+    brot = jnp.broadcast_to(rot_j[None], (k,) + rot_j.shape)
+    borg = jnp.broadcast_to(org_j[None], (k,) + org_j.shape)
+    bnf = jnp.full((k,), n_frames, jnp.int32)
+    steps_b = 200
+    kp, ks, bl = _train_chunk_batched(
+        kp, ks, jax.random.PRNGKey(8), bpix, brot, borg, bnf, camera, cfg, steps_b
+    )
+    sync(bl)  # warm
+    t0 = time.perf_counter()
+    kp, ks, bl = _train_chunk_batched(
+        kp, ks, jax.random.PRNGKey(9), bpix, brot, borg, bnf, camera, cfg, steps_b
+    )
+    sync(bl)
+    t_batch = time.perf_counter() - t0
+    batched_train_rate = k * steps_b * cfg.train_rays / t_batch
 
     # ---- combined protocol throughput --------------------------------------
     train_rays = PROTOCOL_TRAIN_STEPS * cfg.train_rays
@@ -148,6 +222,11 @@ def main():
             "train_tight_ms_per_step": round(t_tight / steps_meas * 1e3, 3),
             "protocol_seconds_per_object": round(protocol_time, 2),
             "candidate_scoring_540_views_s": round(t_score, 3),
+            "psnr": round(metrics["PSNR"], 2),
+            "ssim": round(metrics["SSIM"], 4),
+            "batched_objects": k,
+            "batched_train_rays_per_sec": round(batched_train_rate, 1),
+            "batched_train_speedup": round(batched_train_rate / train_rate, 3),
             "field": cfg.field_impl,
             "device": str(jax.devices()[0]),
         },

@@ -5,12 +5,17 @@ Replaces the reference's Gurobi MIP with lazy subtour elimination
 is modeled the same way — a zero-cost dummy node joined to every view and
 forced adjacent to the start — but solved with
 
-- exact Held–Karp dynamic programming for n <= ``EXACT_MAX`` nodes, and
-- nearest-neighbor + 2-opt + Or-opt local search beyond that,
+- exact Held–Karp dynamic programming for n <= ``EXACT_MAX`` nodes
+  (mask-vectorized: the inner j/k transition runs as one numpy min-plus
+  product per subset, ~0.3 s at n=17), and
+- multi-restart nearest-neighbor + 2-opt + Or-opt local search with
+  double-bridge kicks beyond that,
 
 which matches Gurobi's optimum on the small instances the pipeline actually
-solves per NBV iteration and stays within a couple percent on the 100-view
-precompute, with no external solver dependency.
+solves per NBV iteration and beats-or-matches the reference's shipped
+Gurobi paths on all 98 precomputed hemisphere sizes (worst ratio sweep:
+tests/test_viewspace_planning.py::test_tsp_full_sweep_all_shipped_paths),
+with no external solver dependency.
 """
 
 from __future__ import annotations
@@ -19,37 +24,49 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-EXACT_MAX = 13
+EXACT_MAX = 16
+RESTARTS = 4  # heuristic multistarts (first is plain greedy NN)
+KICKS = 3     # double-bridge perturbations per restart
 
 
 def _held_karp_path(dist: np.ndarray, start: int, end: Optional[int] = None) -> List[int]:
-    """Exact shortest Hamiltonian path from ``start`` (to ``end`` if given)."""
+    """Exact shortest Hamiltonian path from ``start`` (to ``end`` if given).
+
+    dp over (visited-subset, last-node); per subset the transition is a
+    vectorized (finite-j x open-k) min-plus step instead of Python j/k
+    loops — ~20x faster, making n=16 exact solves cheap (~0.2 s).
+    """
     n = len(dist)
     others = [i for i in range(n) if i != start]
     m = len(others)
     if m == 0:
         return [start]
+    D = np.asarray(dist, dtype=np.float64)[np.ix_(others, others)]
     full = 1 << m
+    arange_m = np.arange(m)
+    bits = 1 << arange_m
     dp = np.full((full, m), np.inf)
     parent = np.full((full, m), -1, dtype=np.int64)
-    for j, node in enumerate(others):
-        dp[1 << j, j] = dist[start, node]
-    for mask in range(full):
-        active = dp[mask]
-        if not np.isfinite(active).any():
+    dp[bits, arange_m] = np.asarray(dist, dtype=np.float64)[start, others]
+    for mask in range(1, full):
+        base = dp[mask]
+        finite = np.isfinite(base)
+        if not finite.any():
             continue
-        for j in range(m):
-            if not (mask >> j) & 1 or not np.isfinite(dp[mask, j]):
-                continue
-            base = dp[mask, j]
-            for k in range(m):
-                if (mask >> k) & 1:
-                    continue
-                nmask = mask | (1 << k)
-                cand = base + dist[others[j], others[k]]
-                if cand < dp[nmask, k]:
-                    dp[nmask, k] = cand
-                    parent[nmask, k] = j
+        out = (mask & bits) == 0
+        if not out.any():
+            continue
+        js = np.nonzero(finite)[0]
+        ks = np.nonzero(out)[0]
+        cand = base[js, None] + D[np.ix_(js, ks)]
+        bi = np.argmin(cand, axis=0)
+        best = cand[bi, np.arange(len(ks))]
+        nmasks = mask | bits[ks]
+        cur = dp[nmasks, ks]
+        imp = best < cur
+        if imp.any():
+            dp[nmasks[imp], ks[imp]] = best[imp]
+            parent[nmasks[imp], ks[imp]] = js[bi[imp]]
     final = full - 1
     if end is None:
         j = int(np.argmin(dp[final]))
@@ -137,22 +154,81 @@ def _two_opt(dist: np.ndarray, order: List[int], fixed_end: bool) -> List[int]:
     return order
 
 
+def _randomized_nn(dist: np.ndarray, start: int, rng: np.random.Generator) -> List[int]:
+    """Greedy NN that picks uniformly among the 3 nearest unvisited nodes."""
+    n = len(dist)
+    seen = np.zeros(n, dtype=bool)
+    seen[start] = True
+    order = [start]
+    cur = start
+    for _ in range(n - 1):
+        d = np.where(seen, np.inf, dist[cur])
+        k = min(3, int(np.isfinite(d).sum()))
+        cands = np.argpartition(d, k - 1)[:k]
+        cur = int(rng.choice(cands))
+        seen[cur] = True
+        order.append(cur)
+    return order
+
+
+def _double_bridge(order: List[int], rng: np.random.Generator, fixed_end: bool) -> List[int]:
+    """Classic 4-opt double-bridge kick on the movable interior."""
+    n = len(order)
+    hi = n - 1 if fixed_end else n
+    if hi - 1 < 4:
+        return list(order)
+    cuts = np.sort(rng.choice(np.arange(1, hi), size=3, replace=False))
+    a, b, c = (int(x) for x in cuts)
+    return order[:a] + order[b:c] + order[a:b] + order[c:]
+
+
 def solve_open_tsp(
-    dist: np.ndarray, start: int, end: Optional[int] = None, exact_max: int = EXACT_MAX
+    dist: np.ndarray,
+    start: int,
+    end: Optional[int] = None,
+    exact_max: int = EXACT_MAX,
+    restarts: int = RESTARTS,
+    kicks: int = KICKS,
+    seed: int = 0,
 ) -> List[int]:
     """Visit order over all nodes, ``start`` first (≙ Global_Path_Planner
-    ``solve`` + ``get_path_id_set``, ``main.cpp:511-593``)."""
+    ``solve`` + ``get_path_id_set``, ``main.cpp:511-593``).
+
+    Beyond ``exact_max`` nodes: ``restarts`` multistarts (greedy NN first,
+    then 3-nearest randomized NN), each polished with 2-opt + Or-opt and
+    perturbed with ``kicks`` double-bridge kicks; best path wins.
+    Deterministic for a given ``seed``.
+    """
     dist = np.asarray(dist, dtype=np.float64)
     n = len(dist)
     if n <= 1:
         return list(range(n))
     if n <= exact_max:
         return _held_karp_path(dist, start, end)
-    order = _nearest_neighbor(dist, start)
-    if end is not None:
-        order.remove(end)
-        order.append(end)
-    return _two_opt(dist, order, fixed_end=end is not None)
+    rng = np.random.default_rng(seed)
+    fixed_end = end is not None
+    best_order: Optional[List[int]] = None
+    best_cost = np.inf
+    for r in range(max(restarts, 1)):
+        order = (
+            _nearest_neighbor(dist, start)
+            if r == 0
+            else _randomized_nn(dist, start, rng)
+        )
+        if end is not None:
+            order.remove(end)
+            order.append(end)
+        order = _two_opt(dist, order, fixed_end=fixed_end)
+        cost = _path_cost(dist, order)
+        for _ in range(max(kicks, 0)):
+            kicked = _double_bridge(order, rng, fixed_end)
+            kicked = _two_opt(dist, kicked, fixed_end=fixed_end)
+            kcost = _path_cost(dist, kicked)
+            if kcost < cost:
+                order, cost = kicked, kcost
+        if cost < best_cost:
+            best_order, best_cost = order, cost
+    return best_order
 
 
 class GlobalPathPlanner:

@@ -133,13 +133,50 @@ def load_obj(path: str) -> Mesh:
     )
 
 
-def remove_duplicate_faces(mesh: Mesh) -> Mesh:
-    """Drop faces whose vertex sets coincide, keeping the first occurrence
-    (covers ShapeNet's z-fighting duplicate geometry; ≙ the AO-based pass in
-    mesh_sampling_geo_color_shapenet.py:33-101)."""
-    key = np.sort(mesh.faces, axis=1)
-    _, first = np.unique(key, axis=0, return_index=True)
-    keep = np.sort(first)
+def remove_duplicate_faces(mesh: Mesh, tol: float = 1e-5) -> Mesh:
+    """Drop ShapeNet's z-fighting duplicate geometry (≙ the AO-based pass in
+    mesh_sampling_geo_color_shapenet.py:33-101).
+
+    Duplicates are detected on vertex *positions*, not just indices:
+    vertices are snapped to a ``tol``-of-bbox-diagonal grid, so offset
+    duplicates (re-listed vertices a fraction of a millimeter apart — the
+    common ShapeNet export artifact) and rewound duplicates (same triangle,
+    reversed winding) collapse onto one canonical key.  Within each
+    duplicate group the kept face is the one whose normal points most
+    outward from the mesh centroid — a cheap geometric stand-in for the
+    reference's keep-the-max-ambient-occlusion rule (its AO quality ranks
+    the *visible* copy highest; for closed-ish surfaces that is the
+    outward-facing one).  Faces that collapse to fewer than 3 distinct
+    snapped vertices (zero area at sampling tolerance) are dropped.
+    """
+    v = mesh.vertices
+    f = mesh.faces
+    if len(f) == 0:
+        return mesh
+    diag = float(np.linalg.norm(v.max(axis=0) - v.min(axis=0))) or 1.0
+    q = np.round(v / (tol * diag)).astype(np.int64)
+    _, canon = np.unique(q, axis=0, return_inverse=True)
+    cf = canon[f]  # (F, 3) canonical vertex ids
+    nondegenerate = (
+        (cf[:, 0] != cf[:, 1]) & (cf[:, 1] != cf[:, 2]) & (cf[:, 0] != cf[:, 2])
+    )
+    key = np.sort(cf, axis=1)
+    _, group = np.unique(key, axis=0, return_inverse=True)
+
+    # outwardness score ≈ the AO visibility ranking: normal . (centroid - C)
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    normal = np.cross(e1, e2)
+    centroid = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3.0
+    score = np.einsum("ij,ij->i", normal, centroid - v.mean(axis=0))
+
+    # stable pick: within each group order by (-score, original index)
+    order = np.lexsort((np.arange(len(f)), -score, group))
+    first_of_group = np.ones(len(f), dtype=bool)
+    first_of_group[1:] = group[order][1:] != group[order][:-1]
+    keep_mask = np.zeros(len(f), dtype=bool)
+    keep_mask[order[first_of_group]] = True
+    keep = np.sort(np.nonzero(keep_mask & nondegenerate)[0])
     return Mesh(
         vertices=mesh.vertices,
         faces=mesh.faces[keep],

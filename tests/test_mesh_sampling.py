@@ -64,6 +64,56 @@ def test_remove_duplicate_faces(tmp_path):
     assert len(clean.faces) == 12
 
 
+def test_remove_near_duplicate_offset_and_rewound_faces():
+    """Offset duplicates (re-listed vertices a hair apart) and rewound
+    duplicates z-fight in real ShapeNet exports; both must collapse to ONE
+    kept face — the outward-facing copy (≙ the keep-max-AO rule,
+    mesh_sampling_geo_color_shapenet.py:52-57)."""
+    from nerf_prv_tpu.scene.mesh_sampling import Mesh
+
+    eps = 1e-8
+    # interior anchor point pulls the mesh centroid below the triangle so
+    # outwardness is well-defined (+z normal faces away from the centroid)
+    verts = np.array(
+        [
+            [0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [0.0, 1.0, 1.0],   # face A (+z winding)
+            [eps, 0.0, 1.0 + eps], [1.0, eps, 1.0], [0.0, 1.0, 1.0 - eps],  # offset copy
+            [0.5, 0.5, 0.0],  # anchor
+        ]
+    )
+    faces = np.array(
+        [
+            [0, 2, 1],   # rewound duplicate of A (normal -z, inward) — drop
+            [3, 4, 5],   # offset duplicate (normal +z, outward)      — keep
+            [0, 1, 2],   # original (+z) — same group, lower index than 1 but
+                         # equal outward score up to eps: either +z copy ok
+            [0, 1, 6],   # unrelated face — keep
+        ]
+    )
+    mesh = Mesh(
+        vertices=verts, faces=faces, uvs=None, face_uvs=None,
+        face_materials=np.zeros(4, np.int64), materials=[],
+    )
+    clean = remove_duplicate_faces(mesh)
+    assert len(clean.faces) == 2, clean.faces
+    kept_groups = {tuple(sorted(f)) for f in clean.faces.tolist()}
+    assert (0, 1, 6) in kept_groups
+    # the kept duplicate is one of the outward (+z) copies, not the rewound one
+    other = next(f for f in clean.faces.tolist() if tuple(sorted(f)) != (0, 1, 6))
+    v = clean.vertices
+    n = np.cross(v[other[1]] - v[other[0]], v[other[2]] - v[other[0]])
+    assert n[2] > 0, other
+
+    # degenerate sliver (two coincident snapped vertices) is dropped
+    mesh2 = Mesh(
+        vertices=np.array([[0, 0, 0], [1.0, 0, 0], [1.0 + 1e-9, 1e-9, 0], [0, 1.0, 0]]),
+        faces=np.array([[0, 1, 2], [0, 1, 3]]),
+        uvs=None, face_uvs=None, face_materials=np.zeros(2, np.int64), materials=[],
+    )
+    clean2 = remove_duplicate_faces(mesh2)
+    assert clean2.faces.tolist() == [[0, 1, 3]]
+
+
 def test_sample_mesh_points_on_surface_with_texture_colors(tmp_path):
     mesh = load_obj(_write_cube_obj(str(tmp_path)))
     pts, cols = sample_mesh(mesh, n_points=5000, seed=0)
