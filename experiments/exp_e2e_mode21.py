@@ -40,11 +40,26 @@ def main():
     )
     modes.mode_view_cover(cfg, sizes=[5, 60] + list(range(13, 59)))
 
-    tc = TrainConfig(arch="convnextv2_atto", image_size=64)
-    _, params = init_model(tc, n_views=3, image_size=64)
-    predictor = BudgetPredictor(
-        params=params, arch="convnextv2_atto", pattern=IMG_PATTERN[2], crop=64
+    # method 4 runs with LEARNED weights when the real training run's
+    # checkpoint exists (experiments/exp_prvnet_real.py); falls back to a
+    # fresh init so the wiring e2e still runs standalone
+    ckpt = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "prvnet_ckpt", "best_checkpoint.msgpack",
     )
+    if os.path.exists(ckpt):
+        predictor = BudgetPredictor(
+            checkpoint_path=ckpt, arch="convnextv2_atto",
+            pattern=IMG_PATTERN[2], crop=180,
+        )
+        print(f"using learned PRVNet checkpoint {ckpt}", flush=True)
+    else:
+        tc = TrainConfig(arch="convnextv2_atto", image_size=64)
+        _, params = init_model(tc, n_views=3, image_size=64)
+        predictor = BudgetPredictor(
+            params=params, arch="convnextv2_atto", pattern=IMG_PATTERN[2], crop=64
+        )
+        print("using fresh-init PRVNet weights (no checkpoint found)", flush=True)
 
     t0 = time.perf_counter()
     paths = modes.mode_view_planning(

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Real-object calibration: a textured OBJ through the FULL pipeline.
+
+No ShapeNet assets ship with the reference, so the "real object" is a
+textured torus mesh (OBJ + MTL + PNG texture, non-trivial topology: a
+handle, a hole, self-occlusion, thin crust) pushed through the exact
+production chain — load_obj -> duplicate-face removal -> area-weighted
+texture sampling -> voxel thinning (L0, ≙ mesh_sampling_geo_color_
+shapenet.py) -> mode 0 viewspaces -> mode 3 coverage at every label view
+count -> mode 4 NeRF sweep (2500 steps each, 100-view eval) -> lognormal
+fit -> gradient/gap labels (≙ NeRF_fit_curve.cpp, main.cpp:2641-2645).
+
+Checks recorded in experiments/artifacts/real_object_calibration.json:
+the PSNR curve's lognormal fit converges, the fitted curve is monotone
+with diminishing returns (lognormal CDF shape), and the dataset label
+(gradient @ 0.02 dB/view) lands in the [13,58] clip window.
+
+  nohup python -u experiments/exp_real_object.py > /tmp/exp_real.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def write_textured_torus(root: str, R: float = 0.35, r: float = 0.16,
+                         nu: int = 64, nv: int = 32) -> str:
+    """Torus OBJ with UVs, MTL, and a structured color texture."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    tex = np.zeros((256, 256, 3), np.uint8)
+    # color bands around the tube + checker overlay: gives the sampled
+    # cloud real texture-derived color variation to reconstruct
+    yy, xx = np.mgrid[0:256, 0:256]
+    tex[..., 0] = (127 + 120 * np.sin(2 * np.pi * xx / 256)).astype(np.uint8)
+    tex[..., 1] = (127 + 120 * np.sin(4 * np.pi * yy / 256 + 1)).astype(np.uint8)
+    tex[..., 2] = ((xx // 32 + yy // 32) % 2) * 180 + 40
+    Image.fromarray(tex).save(os.path.join(root, "tex.png"))
+    with open(os.path.join(root, "model.mtl"), "w") as f:
+        f.write("newmtl torus\nKd 1 1 1\nmap_Kd tex.png\n")
+
+    verts, uvs, faces = [], [], []
+    for i in range(nu):
+        for j in range(nv):
+            u = 2 * np.pi * i / nu
+            v = 2 * np.pi * j / nv
+            x = (R + r * np.cos(v)) * np.cos(u)
+            y = (R + r * np.cos(v)) * np.sin(u)
+            z = r * np.sin(v)
+            verts.append((x, y, z))
+            uvs.append((i / nu, j / nv))
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces.append((a, b, c))
+            faces.append((a, c, d))
+    path = os.path.join(root, "model.obj")
+    with open(path, "w") as f:
+        f.write("mtllib model.mtl\n")
+        for x, y, z in verts:
+            f.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
+        for u, v in uvs:
+            f.write(f"vt {u:.6f} {v:.6f}\n")
+        f.write("usemtl torus\n")
+        for a, b, c in faces:
+            f.write(f"f {a+1}/{a+1} {b+1}/{b+1} {c+1}/{c+1}\n")
+    return path
+
+
+def main():
+    from nerf_prv_tpu.core.config import Config
+    from nerf_prv_tpu.labeling.labels import fit_object_from_metrics
+    from nerf_prv_tpu.pipeline import modes
+    from nerf_prv_tpu.scene.mesh_sampling import sample_and_voxelize
+
+    root = "/tmp/real_obj_ws"
+    os.makedirs(root, exist_ok=True)
+    obj = write_textured_torus(os.path.join(root, "mesh"))
+    ply = os.path.join(root, "models", "ShapeNet", "torus0.ply")
+    if not os.path.exists(ply):
+        t0 = time.perf_counter()
+        ok = sample_and_voxelize(obj, ply, n_points=300_000, grid_resolution=512,
+                                 require_texture=True)
+        assert ok
+        print(f"L0 sample+voxelize {time.perf_counter()-t0:.1f}s", flush=True)
+
+    counts = list(range(3, 51, 2))  # ≙ Fit_ShapeNet grid (NeRF_fit_curve.cpp:90)
+    cfg = Config(
+        workspace=os.path.join(root, "ws"),
+        model_path=os.path.join(root, "models"),
+        viewspace_path=os.path.join(root, "ws", "viewspace"),
+        name_of_pcd="torus0",
+        coverage_view_num_max=50,
+        coverage_view_num_add=2,
+        n_steps=2500,
+    )
+    t0 = time.perf_counter()
+    modes.mode_view_cover(cfg, sizes=counts + [100])
+    print(f"mode0 viewspaces {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    modes.mode_get_coverage(cfg, ["torus0"])
+    print(f"mode3 coverage {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    modes.mode_instant_ngp(cfg, ["torus0"])
+    print(f"mode4 sweep ({len(counts)} counts + 100) {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    result = fit_object_from_metrics(
+        cfg.gt_path, view_counts=counts,
+        label_path=os.path.join(cfg.gt_path, "label.txt"),
+    )
+    curve = np.asarray(result.curve)
+    psnrs = [
+        float(open(os.path.join(cfg.gt_path, f"{v}.txt")).read().split()[1])
+        for v in counts
+    ]
+    max_psnr = float(open(os.path.join(cfg.gt_path, "100.txt")).read().split()[1])
+    grad_label = int(result.gradient_labels[1])  # ΔPSNR <= 0.02/view (main.cpp:2641)
+
+    # lognormal-CDF shape checks: monotone rise, diminishing returns
+    d = np.diff(curve)
+    monotone = bool((d > -1e-6).all())
+    # tail gradient far below head gradient = saturating curve
+    diminishing = bool(d[-10:].mean() < 0.25 * max(d[:10].mean(), 1e-9))
+    artifact = {
+        "converged": bool(result.converged),
+        "view_counts": counts,
+        "measured_psnr": [round(p, 3) for p in psnrs],
+        "max_psnr_100": round(max_psnr, 3),
+        "fitted_curve_3_100": [round(float(c), 3) for c in curve],
+        "gradient_label_0.02": grad_label,
+        "label_in_clip_window": 13 <= grad_label <= 58,
+        "curve_monotone": monotone,
+        "curve_diminishing_returns": diminishing,
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "artifacts", "real_object_calibration.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k not in ("measured_psnr", "fitted_curve_3_100")}),
+          flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

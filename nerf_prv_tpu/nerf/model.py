@@ -101,6 +101,12 @@ class NerfConfig:
     # grid-gradient implementation: "xla" (native duplicate-index
     # scatter-add) or "sorted" (sort + segmented-sum + unique scatter)
     voxel_grad_impl: str = "xla"
+    # NOTE on a rejected design (experiments/exp_share_march.py): row-shared
+    # marching (one gather per pair of consecutive samples, trilinear
+    # extrapolation within the pair) measured SLOWER despite halving gather
+    # rows — the pair-axis broadcast/reshape relayouts cost as much memory
+    # traffic as the saved rows — and lost 0.2-0.9 dB.  Row count cannot be
+    # traded for minor-axis restructuring on this platform.
     # gather the grid rows through a bfloat16 view ("bf16") or at full
     # precision ("f32"); backward accumulation is float32 either way
     voxel_gather_dtype: str = "bf16"

@@ -478,16 +478,23 @@ def render_views(
         order_pad = jnp.concatenate(
             [order_t, jnp.zeros((max(stop_t - n_tiles, 0),), jnp.int32)]
         )
-        outs = []
-        for i in range(0, stop_t, ct):
-            outs.append(
-                _jit_render_tiles(params, od_t, order_pad[i : i + ct], cfg, aux)
+        if aux is not None and cfg.render_coarse > 0 and stop_t > 0:
+            out = _render_tiles_two_phase(
+                params, od_t, order_pad, stop_t, n_act, n_tiles, t, cfg, aux, chunk
             )
-        if outs:
-            rgba_t = jnp.concatenate(outs)
-            out = _scatter_tiles(rgba_t, order_pad[: rgba_t.shape[0]], n_tiles, n_act)
         else:
-            out = jnp.zeros((n_tiles, 4 * t))
+            outs = []
+            for i in range(0, stop_t, ct):
+                outs.append(
+                    _jit_render_tiles(params, od_t, order_pad[i : i + ct], cfg, aux)
+                )
+            if outs:
+                rgba_t = jnp.concatenate(outs)
+                out = _scatter_tiles(
+                    rgba_t, order_pad[: rgba_t.shape[0]], n_tiles, n_act
+                )
+            else:
+                out = jnp.zeros((n_tiles, 4 * t))
         rgba = out.reshape(n_p, 4)[:n]
         rgb, a = rgba[:, :3], rgba[:, 3]
     elif cfg.bound == "sphere":
@@ -604,6 +611,116 @@ def _gather_back(rgba_hit, pos, n):
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_render(params, origins, dirs, cfg, aux=None):
     return render_rays(params, origins, dirs, cfg, key=None, aux=aux)
+
+
+def _render_tiles_two_phase(
+    params, od_t, order_pad, stop_t, n_act, n_tiles, t, cfg, aux, chunk
+):
+    """Probe-then-march tile render: phase A probes EVERY active-tile ray
+    against the precomputed occupancy tables (24 narrow rows/ray), phase B
+    fine-marches ONLY the probe-occupied rays (the expensive 24 wide
+    rows + MLP per ray) in densely compacted chunks.
+
+    Why: tile compaction keeps sphere-miss rays out, but the bounding
+    sphere's silhouette is 2-4x the object's — most active-tile rays cross
+    the sphere yet hit nothing, and the fused single-phase march pays the
+    full fine-march cost for them anyway (static shapes).  Splitting at the
+    probe moves the fine march onto the truly-occupied subset; outputs are
+    bit-identical to the fused path (unoccupied rays composite to exact
+    zeros either way).  Costs one extra host sync (the occupied count).
+    """
+    ct = max(chunk // t, 1)
+    tlo, thi, occ = [], [], []
+    for i in range(0, stop_t, ct):
+        a, b, c = _jit_probe_tiles(od_t, order_pad[i : i + ct], cfg, aux)
+        tlo.append(a)
+        thi.append(b)
+        occ.append(c)
+    tlo = jnp.concatenate(tlo)
+    thi = jnp.concatenate(thi)
+    occ = jnp.concatenate(occ)
+    od_occ, tlo_o, thi_o, occ_o, pos_r, n_occ = _jit_prepare_march(
+        od_t, order_pad[:stop_t], tlo, thi, occ, chunk
+    )
+    n_occ = int(n_occ)
+    stop_b = min(((n_occ + chunk - 1) // chunk) * chunk, od_occ.shape[0])
+    outs = []
+    for i in range(0, stop_b, chunk):
+        outs.append(
+            _jit_march_interval(
+                params,
+                od_occ[i : i + chunk],
+                tlo_o[i : i + chunk],
+                thi_o[i : i + chunk],
+                occ_o[i : i + chunk],
+                cfg,
+            )
+        )
+    rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
+    rgba_act = _jit_unpermute_rays(rgba_occ, pos_r)  # (stop_t * t, 4)
+    return _scatter_tiles(
+        rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_probe_tiles(od_t, tidx, cfg, aux):
+    """Phase A: two-level occupancy probe per ray -> (t_lo, t_hi, occ)."""
+    ct = tidx.shape[0]
+    t = od_t.shape[1] // 6
+    rays = od_t[tidx].reshape(ct * t, 6)
+    o, d = rays[:, :3], rays[:, 3:]
+    tmin, tmax, valid = ray_sphere(o, d)
+    t_lo, t_hi, any_occ = _tighten_interval_aux(aux, o, d, tmin, tmax, valid, cfg)
+    return t_lo, t_hi, any_occ & valid
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _jit_prepare_march(od_t, order_stop, tlo, thi, occ, pad):
+    """Occupied-rays-first partition of the active-tile rays (+ one dead
+    chunk of padding so host-side chunking never overruns)."""
+    m = order_stop.shape[0]
+    t = od_t.shape[1] // 6
+    rays = od_t[order_stop].reshape(m * t, 6)
+    n_occ = jnp.sum(occ)
+    pos_hit = jnp.cumsum(occ) - 1
+    pos_miss = n_occ + jnp.cumsum(~occ) - 1
+    pos = jnp.where(occ, pos_hit, pos_miss).astype(jnp.int32)
+    order_r = jnp.zeros((m * t,), jnp.int32).at[pos].set(
+        jnp.arange(m * t, dtype=jnp.int32), unique_indices=True
+    )
+    od_occ = jnp.concatenate([rays[order_r], jnp.zeros((pad, 6))])
+    tlo_o = jnp.concatenate([tlo[order_r], jnp.zeros((pad,))])
+    thi_o = jnp.concatenate([thi[order_r], jnp.ones((pad,))])
+    occ_o = jnp.concatenate([occ[order_r], jnp.zeros((pad,), bool)])
+    return od_occ, tlo_o, thi_o, occ_o, pos, n_occ
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_march_interval(params, od, tlo, thi, occ, cfg):
+    """Phase B: deterministic fine march inside precomputed [t_lo, t_hi]."""
+    o, d = od[:, :3], od[:, 3:]
+    ns = cfg.render_n_samples or cfg.n_samples
+    span = (thi - tlo) / ns
+    base = jnp.arange(ns, dtype=jnp.float32)[None, :]
+    ts = tlo[:, None] + (base + 0.5) * span[:, None]
+    pos = jnp.clip(o[:, None, :] + d[:, None, :] * ts[..., None], 0.0, 1.0 - 1e-6)
+    sigma, rgb = _eval_field(params, pos, d, cfg)
+    sigma = sigma * occ[:, None]
+    out_rgb, out_alpha, _ = _composite(
+        sigma, rgb, jnp.broadcast_to(span[:, None], sigma.shape)
+    )
+    return jnp.concatenate([out_rgb, out_alpha[:, None]], axis=-1)
+
+
+@jax.jit
+def _jit_unpermute_rays(rgba_occ, pos):
+    """Un-permute phase-B results to original active-ray order; rays whose
+    slot lies beyond the marched prefix (never-occupied tail when n_occ
+    rounds under the marched chunks) read the zero pad row."""
+    mlen = rgba_occ.shape[0]
+    padded = jnp.concatenate([rgba_occ, jnp.zeros((1, 4), rgba_occ.dtype)])
+    return padded[jnp.minimum(pos, mlen)]
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -163,18 +163,28 @@ def init_voxel_params(key, cfg) -> Dict[str, Any]:
     }
 
 
+def _gather(params, row_idx, cfg):
+    g = cfg.voxel_grid_size
+    if cfg.voxel_grad_impl == "sorted":
+        return _gather_rows_sorted(params["grid"], row_idx, g * g * g)
+    if cfg.voxel_gather_dtype == "bf16":
+        # the single wide gather, through a half-width view of the grid
+        return _gather_rows_bf16(params["grid"], row_idx).astype(jnp.float32)
+    return params["grid"][row_idx]  # (N, 8*F) — the single wide gather
+
+
 def _blend(params, x, cfg):
     """One gather per sample + in-register trilinear blend -> (N, F)."""
-    g = cfg.voxel_grid_size
-    row_idx, frac = cell_and_frac(x, g)
-    if cfg.voxel_grad_impl == "sorted":
-        rows = _gather_rows_sorted(params["grid"], row_idx, g * g * g)
-    elif cfg.voxel_gather_dtype == "bf16":
-        # the single wide gather, through a half-width view of the grid
-        rows = _gather_rows_bf16(params["grid"], row_idx).astype(jnp.float32)
-    else:
-        rows = params["grid"][row_idx]  # (N, 8*F) — the single wide gather
-    return blend_rows(rows, frac, cfg.voxel_features)
+    row_idx, frac = cell_and_frac(x, cfg.voxel_grid_size)
+    return blend_rows(_gather(params, row_idx, cfg), frac, cfg.voxel_features)
+
+
+# (A row-shared blend — one gather per pair of consecutive samples with
+# trilinear extrapolation inside the pair — was implemented and measured
+# here in round 2: experiments/exp_share_march.py.  REJECTED: the pair-axis
+# broadcast/reshape relayouts cost as much HBM traffic as the saved rows
+# (render chunk 94.9 vs 62.4 ms, train step 4.79 vs 4.71 ms) and quality
+# dropped 0.2-0.9 dB from cross-cell extrapolation on untied corner blocks.)
 
 
 def lattice_corner_raw(params, cfg) -> jnp.ndarray:

@@ -129,6 +129,18 @@ def convnextv2_base(**kw):
     return ConvNeXtV2(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024), **kw)
 
 
+def _resnet50(**kw):
+    from .resnet import resnet50
+
+    return resnet50(**kw)
+
+
+def _resnet101(**kw):
+    from .resnet import resnet101
+
+    return resnet101(**kw)
+
+
 MODELS = {
     "convnextv2_atto": convnextv2_atto,
     "convnextv2_femto": convnextv2_femto,
@@ -136,4 +148,7 @@ MODELS = {
     "convnextv2_nano": convnextv2_nano,
     "convnextv2_tiny": convnextv2_tiny,
     "convnextv2_base": convnextv2_base,
+    # ≙ --resnet50/--resnet101 (train_regression.py:279-282,563-565)
+    "resnet50": _resnet50,
+    "resnet101": _resnet101,
 }

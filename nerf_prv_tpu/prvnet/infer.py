@@ -114,9 +114,17 @@ def convert_torch_checkpoint(state_dict) -> dict:
 
 
 def convert_encoder_state_dict(state_dict) -> dict:
-    """Torch ConvNeXt-V2 *encoder-only* state dict (plain keys, e.g. an
-    ImageNet checkpoint's ``checkpoint['model']``) -> Flax encoder subtree
-    matching this package's ConvNeXtV2 module names."""
+    """Torch *encoder-only* state dict (plain keys, e.g. an ImageNet
+    checkpoint's ``checkpoint['model']``) -> Flax encoder subtree.
+
+    Dispatches on the key layout: ConvNeXt-V2 checkpoints carry
+    ``downsample_layers.*`` keys, torchvision ResNets carry ``layer1.*``
+    (≙ the reference's convnext vs --resnet50/--resnet101 paths).
+    """
+    if any(k.startswith("layer1.") for k in state_dict):
+        from .resnet import convert_resnet_state_dict
+
+        return convert_resnet_state_dict(state_dict)
     enc: dict = {}
     for k, v in state_dict.items():
         _convert_encoder_key(enc, k, _to_np(v))

@@ -29,6 +29,7 @@ def test_stack_datasets_pads_frames(tmp_path):
     assert list(n_frames) == [5, 8]
 
 
+@pytest.mark.slow
 def test_train_batch_two_objects_sharded(tmp_path):
     t1, test1, _, _ = write_scene(str(tmp_path / "a"), n_train=8, n_test=2, seed=1)
     t2, test2, _, _ = write_scene(str(tmp_path / "b"), n_train=8, n_test=2, seed=7)

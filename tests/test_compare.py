@@ -59,6 +59,7 @@ def test_write_comparison_table(tmp_path):
     assert float(gt[3]) == pytest.approx(31.0)   # PSNR mean
 
 
+@pytest.mark.slow
 def test_compare_objects_end_to_end(tmp_path):
     root = tmp_path
     pts, cols = make_object(3000, seed=9)

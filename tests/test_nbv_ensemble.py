@@ -48,6 +48,7 @@ def workspace(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_nbv_ensemble_rgb_method(workspace):
     cfg = workspace
     paths = modes.mode_view_planning(
@@ -95,6 +96,7 @@ def test_train_server_roundtrip(tmp_path):
     assert not os.path.exists(os.path.join(interact, "ready_c++.txt"))
 
 
+@pytest.mark.slow
 def test_infer_server_roundtrip(tmp_path, monkeypatch):
     from PIL import Image
 

@@ -97,6 +97,7 @@ def test_psnr_ssim_basics():
     assert float(mse2psnr(0.01)) == pytest.approx(20.0, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_nerf_end_to_end_synthetic(tmp_path):
     train_json, test_json, _, _ = write_scene(str(tmp_path), n_train=12, n_test=4)
     params, ds = train_nerf(train_json, TINY, seed=0)
@@ -171,6 +172,7 @@ def test_bf16_gather_grad_close_to_f32(tmp_path):
         assert np.abs(a - b).max() / denom < 0.10, (k, np.abs(a - b).max(), denom)
 
 
+@pytest.mark.slow
 def test_aux_probe_matches_mlp_probe(tmp_path):
     """The two-level RenderAux probe must reproduce the direct-MLP probe's
     renders on a trained field (tables are conservative approximations;

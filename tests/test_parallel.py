@@ -44,6 +44,7 @@ def test_tp_field_matches_replicated(tp, dp):
     np.testing.assert_allclose(np.asarray(rgb_tp), np.asarray(rgb_ref), rtol=2e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_tp_field_gradients_match():
     params, x, d = _setup(128)
     mesh = make_mesh(("tp",), (2,), jax.devices()[:2])

@@ -91,6 +91,7 @@ def test_dataset_and_center_crop(tmp_path):
     assert out.shape == (48, 48, 3)
 
 
+@pytest.mark.slow
 def test_train_and_predict_roundtrip(tmp_path):
     names = [f"obj{i}" for i in range(8)]
     budgets = [15, 20, 25, 30, 35, 40, 45, 50]
@@ -314,6 +315,7 @@ def test_pvb_prefixed_encoder_loader_and_strictness():
         load_pretrained_encoder(params, {"model": wrong}, imagenet=True)
 
 
+@pytest.mark.slow
 def test_pretrain_smoke_and_encoder_handoff(tmp_path):
     """pretrain() trains PVBPretrain on every-view samples
     (≙ --pre_train, train_regression.py:101-167) and its checkpoint's
@@ -344,3 +346,90 @@ def test_pretrain_smoke_and_encoder_handoff(tmp_path):
         premodel_file=pre_path,
     )
     assert np.isfinite(best2["l1_mean"])
+
+
+def _fake_torchvision_resnet_sd(depths, rng):
+    """Synthetic torchvision-layout resnet state dict with correct shapes."""
+    sd = {}
+
+    def conv(k, cout, cin, kh, kw):
+        sd[k] = rng.normal(size=(cout, cin, kh, kw)).astype(np.float32) * 0.05
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[prefix + ".bias"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[prefix + ".running_mean"] = rng.normal(size=c).astype(np.float32) * 0.1
+        sd[prefix + ".running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[prefix + ".num_batches_tracked"] = np.asarray(1)
+
+    conv("conv1.weight", 64, 3, 7, 7)
+    bn("bn1", 64)
+    cin = 64
+    width = 64
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"layer{i+1}.{j}"
+            conv(p + ".conv1.weight", width, cin if j == 0 else width * 4, 1, 1)
+            bn(p + ".bn1", width)
+            conv(p + ".conv2.weight", width, width, 3, 3)
+            bn(p + ".bn2", width)
+            conv(p + ".conv3.weight", width * 4, width, 1, 1)
+            bn(p + ".bn3", width * 4)
+            if j == 0:
+                conv(p + ".downsample.0.weight", width * 4, cin, 1, 1)
+                bn(p + ".downsample.1", width * 4)
+        cin = width * 4
+        width *= 2
+    sd["fc.weight"] = rng.normal(size=(1000, cin)).astype(np.float32) * 0.01
+    sd["fc.bias"] = np.zeros(1000, np.float32)
+    return sd
+
+
+def test_resnet50_encoder_and_torchvision_conversion():
+    """resnet50/101 encoders (≙ --resnet50/--resnet101,
+    train_regression.py:279-282,563-565): forward shapes, and a
+    torchvision-layout state dict converts into the exact param tree and
+    loads through load_pretrained_encoder's resnet dispatch."""
+    from nerf_prv_tpu.prvnet import load_pretrained_encoder, make_pvbnet
+    from nerf_prv_tpu.prvnet.resnet import resnet50
+
+    model = resnet50(num_classes=1000)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 1000)
+
+    rng = np.random.default_rng(5)
+    sd = _fake_torchvision_resnet_sd((3, 4, 6, 3), rng)
+
+    pvb = make_pvbnet("resnet50")
+    xv = jnp.zeros((1, 2, 64, 64, 3))
+    pvb_params = pvb.init(jax.random.PRNGKey(1), xv)["params"]
+    loaded = load_pretrained_encoder(pvb_params, sd, imagenet=True)
+    # spot check: conv1 kernel transposed OIHW->HWIO bit-exactly
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["conv1"]["kernel"]),
+        sd["conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    # bn running stats landed in FrozenBN mean/var
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["bn1"]["mean"]), sd["bn1.running_mean"]
+    )
+    y = pvb.apply({"params": loaded}, jax.random.uniform(jax.random.PRNGKey(2), xv.shape))
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_frozen_bn_matches_formula():
+    from nerf_prv_tpu.prvnet.resnet import FrozenBN
+
+    bn = FrozenBN(4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 3, 4))
+    params = {
+        "scale": jnp.asarray([1.0, 2.0, 0.5, 1.5]),
+        "bias": jnp.asarray([0.0, 1.0, -1.0, 0.2]),
+        "mean": jnp.asarray([0.1, -0.2, 0.0, 0.3]),
+        "var": jnp.asarray([1.0, 0.5, 2.0, 1.0]),
+    }
+    y = bn.apply({"params": params}, x)
+    want = (x - params["mean"]) / jnp.sqrt(params["var"] + 1e-5) * params["scale"] + params["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-5)
