@@ -29,8 +29,13 @@ class NerfConfig:
     density_activation: str = "exp"
     # gradient-carrying samples per train ray, marched inside the
     # probe-tightened interval (train_coarse below); the short warmup
-    # phase uses train_warmup_samples over the full chord instead
-    n_samples: int = 32
+    # phase uses train_warmup_samples over the full chord instead.
+    # 24 samples with 8 probes measured >= the old 32/16 on BOTH quality
+    # scenes across two seeds (splat 35.46/35.35 vs 35.38/35.09, thin
+    # 35.44/35.30 vs 35.37/35.41 — experiments/exp_train24.py + seed-1
+    # confirm) at 3.80 vs 4.84 ms/step; 24 samples with 16 probes lost
+    # 0.20 dB (over-tightened intervals starve the sparser march)
+    n_samples: int = 24
     # hierarchical sampling (training only): when > 0, n_samples become a
     # density-only coarse pass and n_importance full-field samples are drawn
     # from its CDF; deterministic renders use a flat render_n_samples march
@@ -64,12 +69,12 @@ class NerfConfig:
     # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a
     # full-chord fallback for rays with no occupied probe).  Combined with
     # a short flat warmup while geometry forms, this keeps flat-96 quality
-    # at a third of the gradient samples (the backward scatter-add is the
-    # dominant step cost).  16 probes measured quality-neutral vs 24 twice
-    # (35.38/35.43, 35.23/35.20 — experiments/exp_quality.py,
-    # exp_trainrays.py); smaller train batches (2048/3072 rays) measured
-    # -0.1..-0.2 dB and were rejected
-    train_coarse: int = 16
+    # at a quarter of the gradient samples (the backward scatter-add is the
+    # dominant step cost).  With 24 gradient samples, 8 probes beat 16 on
+    # both quality scenes (exp_train24.py: 16 probes over-tighten and the
+    # sparser march under-samples the clamped interval); smaller train
+    # batches (2048/3072 rays) measured -0.1..-0.2 dB and were rejected
+    train_coarse: int = 8
     # warmup sweep on v5e (experiments/exp_warmup.py): 500x96 35.20 dB,
     # 250x48 35.22, 125x48 35.35, none 35.26 — the probe-tightened march
     # "peels" initial fog by itself, so warmup is insurance for thin

@@ -98,6 +98,7 @@ def _tiny_predictor():
     )
 
 
+@pytest.mark.slow
 def test_mode21_method4_then_baselines(workspace):
     cfg = workspace
     scene = load_object(cfg, "toy0")

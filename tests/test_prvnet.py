@@ -385,6 +385,7 @@ def _fake_torchvision_resnet_sd(depths, rng):
     return sd
 
 
+@pytest.mark.slow
 def test_resnet50_encoder_and_torchvision_conversion():
     """resnet50/101 encoders (≙ --resnet50/--resnet101,
     train_regression.py:279-282,563-565): forward shapes, and a
@@ -433,3 +434,30 @@ def test_frozen_bn_matches_formula():
     y = bn.apply({"params": params}, x)
     want = (x - params["mean"]) / jnp.sqrt(params["var"] + 1e-5) * params["scale"] + params["bias"]
     np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_prvnet_cli_smoke(tmp_path):
+    """The trainer CLI (≙ train_regression.py:256-337 argparse surface)
+    drives both regression and pretrain paths end-to-end."""
+    from nerf_prv_tpu.prvnet.cli import main as cli_main
+
+    names = ["obj0", "obj1"]
+    root = str(tmp_path / "ds")
+    _write_fake_dataset(root, names, [20, 40], n_imgs=2)
+    (tmp_path / "ds" / "train_split.txt").write_text("\n".join(names))
+    (tmp_path / "ds" / "val_split.txt").write_text("\n".join(names))
+    rc = cli_main([
+        "--data_path", root, "--model", "convnextv2_atto",
+        "--batch_size", "2", "--epochs", "1", "--input_size", "64",
+        "--pattern_idx", "1", "--output_dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "out" / "best_checkpoint.msgpack")
+    rc = cli_main([
+        "--data_path", root, "--model", "convnextv2_atto", "--pre_train",
+        "--viewspace_size", "2", "--batch_size", "2", "--epochs", "1",
+        "--input_size", "64", "--output_dir", str(tmp_path / "out2"),
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "out2" / "best_pretrain_checkpoint.msgpack")
