@@ -106,8 +106,11 @@ def mode_instant_ngp(
     100-view set, writing ``<v>.txt`` metric files (idempotent).
 
     ``batch_size > 1`` trains that many (object, view-count) NeRFs
-    *simultaneously* via the batched object axis (sharded over the mesh's
-    ``dp`` dimension) — the reference runs these serially through one GPU.
+    simultaneously via the batched object axis.  Use it ONLY with a
+    multi-chip ``dp`` mesh (one object per device): on a single chip the
+    vmapped grid gather/scatter lowering makes K>1 run 1.3-1.5x slower
+    per object than serial (measured, experiments/exp_batched_train.py +
+    PERF.md) — the per-chip default ``batch_size=1`` is already optimal.
     """
     from ..nerf.api import eval_nerf, save_metrics
     from ..scene.object_setup import load_object

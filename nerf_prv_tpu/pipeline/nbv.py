@@ -260,6 +260,11 @@ class NBVRunner:
                     f.write(f"{time.time() - t_start}\n")
                 if cfg.evaluate:  # final eval (≙ 1954-1964)
                     self._train_eval(save_path, str(iteration), test_json)
+                if cfg.show:
+                    # offline equivalent of the reference's `show` viewers
+                    # (trajectory + view-space windows, main.cpp:3754-3823):
+                    # export the chosen visit path and the view space
+                    self._export_debug_viz(save_path, chosen)
                 break
 
             t_infer = time.time()
@@ -285,6 +290,31 @@ class NBVRunner:
                 f.write(f"{next_view_id}\t{d}\t{total_movement}\n")
             iteration += 1
         return save_path
+
+    def _export_debug_viz(self, save_path: str, chosen: Sequence[int]) -> None:
+        """Write debug_viz/: view-space + chosen-trajectory PLY and a 2-pane
+        PNG (the headless stand-in for the reference's `show` flag)."""
+        from ..utils.visualize import (
+            export_trajectory_ply,
+            export_view_space_ply,
+            plot_view_space_png,
+        )
+
+        out = os.path.join(save_path, "debug_viz")
+        os.makedirs(out, exist_ok=True)
+        views = self.view_space.views
+        center = self.view_space.object_center
+        size = self.view_space.predicted_size
+        export_view_space_ply(
+            os.path.join(out, "view_space.ply"), views, start_id=chosen[0]
+        )
+        poly = export_trajectory_ply(
+            os.path.join(out, "trajectory.ply"), views, list(chosen), center, size
+        )
+        plot_view_space_png(
+            os.path.join(out, "view_space.png"), views,
+            order=list(chosen), trajectory_points=poly,
+        )
 
     # ----------------------------------------------------------- methods
     def _select_next(

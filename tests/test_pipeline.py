@@ -41,6 +41,7 @@ def workspace(tmp_path_factory):
         camera=TEST_CAM,
         n_steps=100,
         evaluate=False,
+        show=True,  # exercise the offline debug-viz exports
     )
     return cfg
 
@@ -122,6 +123,9 @@ def test_mode21_method4_then_baselines(workspace):
     assert 13 <= budget <= 58
     assert os.path.exists(os.path.join(m4, "run_time.txt"))
     assert os.path.exists(os.path.join(m4, "movement", "init_path.txt"))
+    # cfg.show -> offline viz exports (the reference's `show` viewers)
+    for f in ("view_space.ply", "trajectory.ply", "view_space.png"):
+        assert os.path.exists(os.path.join(m4, "debug_viz", f)), f
     # PRV method ran exactly budget-1 iterations of movement
     moves = [f for f in os.listdir(os.path.join(m4, "movement")) if f[0].isdigit()]
     assert len(moves) == budget - 1
