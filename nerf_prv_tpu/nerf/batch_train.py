@@ -11,6 +11,13 @@ scaling over ICI is linear).
 
 Datasets may have different frame counts; frames are padded to the max and
 sampling draws from each object's true count.
+
+PER-CHIP CAVEAT (measured, experiments/exp_batched_train.py + PERF.md):
+on a single chip K>1 is COUNTERPRODUCTIVE — XLA's batched gather/scatter
+lowering runs 7-24 M rows/s vs 250-300 M unbatched, so vmapped K-object
+steps cost 1.3-1.5x more per object than serial training.  Use this path
+with K <= the mesh's ``dp`` size (one object per device), where each
+device sees a trivial batch of 1 and scaling over ICI is linear.
 """
 
 from __future__ import annotations

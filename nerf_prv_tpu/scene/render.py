@@ -98,6 +98,7 @@ def render_pointcloud_views(
     """Batched GT renders -> uint8 RGBA (F, H, W, 4), one device dispatch."""
     pts = jnp.asarray(points_world, jnp.float32)
     col = _colors01(colors, len(pts))
+    pts, col = _pad_points_bucket(pts, col)
     c2w = np.asarray(cam_to_world_batch, np.float64)
     w2c = np.linalg.inv(c2w)
     # pad the frame axis to a bucket so every coverage view count shares a
@@ -133,6 +134,24 @@ def _colors01(colors, n):
     return col
 
 
+def _pad_points_bucket(pts, col):
+    """Pad the point axis to a power-of-2 bucket with NaN points.
+
+    Every object has its own (arbitrary) point count after voxel thinning,
+    and each distinct count would compile its own splat program (~25 s per
+    shape on a remote TPU — dataset generation over dozens of objects spent
+    more time compiling than rendering).  NaN points fail the z > 1e-6
+    validity test in _splat_core for EVERY camera, so padding is exact.
+    """
+    n = pts.shape[0]
+    b = 1 << max(12, (int(n) - 1).bit_length())
+    if b > n:
+        pad = b - n
+        pts = jnp.concatenate([pts, jnp.full((pad, 3), jnp.nan, jnp.float32)])
+        col = jnp.concatenate([col, jnp.zeros((pad, 3), jnp.float32)])
+    return pts, col
+
+
 def render_pointcloud(
     points_world: np.ndarray,
     colors: Optional[np.ndarray],
@@ -147,6 +166,7 @@ def render_pointcloud(
     """
     pts = jnp.asarray(points_world, jnp.float32)
     col = _colors01(colors, len(pts))
+    pts, col = _pad_points_bucket(pts, col)
     c2w = np.asarray(cam_to_world, np.float64)
     w2c = np.linalg.inv(c2w)
     pts_cam = pts @ jnp.asarray(w2c[:3, :3].T, jnp.float32) + jnp.asarray(
