@@ -127,12 +127,23 @@ def sum_pairwise_distance(pts: np.ndarray) -> float:
     return float(np.triu(d, 1).sum())
 
 
-def generate_all(viewspace_dir: str, sizes=range(3, 101), seed: int = 0) -> None:
-    """Mode-0 equivalent: write ``N.txt`` for every requested size, keeping an
-    existing file when it already has higher dispersion (≙ main.cpp:1147-1177)."""
+def generate_all(
+    viewspace_dir: str, sizes=range(3, 101), seed: int = 0, improve: bool = False
+) -> None:
+    """Mode-0 equivalent: write ``N.txt`` for every requested size
+    (≙ main.cpp:1147-1177).
+
+    Existing files are SKIPPED by default — the resume-guard style every
+    other expensive mode uses (a re-run was paying the full Riesz-descent
+    sweep, ~8 min of remote compiles, to regenerate identical spaces).
+    ``improve=True`` restores the old behavior: regenerate and keep
+    whichever of old/new has higher dispersion.
+    """
     for n in sizes:
-        pts = generate_hemisphere(n, seed=seed + n)
         path = os.path.join(viewspace_dir, f"{n}.txt")
+        if os.path.exists(path) and not improve:
+            continue
+        pts = generate_hemisphere(n, seed=seed + n)
         if os.path.exists(path):
             old = load_view_space(viewspace_dir, n)
             if sum_pairwise_distance(old) >= sum_pairwise_distance(pts):
