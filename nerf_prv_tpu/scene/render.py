@@ -26,38 +26,58 @@ import numpy as np
 from ..core import camera as cam
 
 
-def _splat_core(points_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height, point_size):
-    z = points_cam[:, 2]
-    x = points_cam[:, 0] / jnp.maximum(z, 1e-9)
-    y = points_cam[:, 1] / jnp.maximum(z, 1e-9)
-    if model in (cam.DIST_MODIFIED_BROWN_CONRADY, cam.DIST_INVERSE_BROWN_CONRADY):
-        x, y = cam._distort_brown_conrady(x, y, coeffs)
-    u = x * fx + ppx
-    v = y * fy + ppy
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    valid = (z > 1e-6) & (ui >= -point_size) & (ui < width + point_size)
-    valid &= (vi >= -point_size) & (vi < height + point_size)
+# points per scatter slab: scatters beyond ~6.2M rows (point_size 5)
+# reproducibly fault the axon TPU worker (245,760 pts x 25 ok, 258,048
+# crash — bisected 2026-08-17), so big clouds splat in two-pass chunks:
+# pass 1 accumulates the global z-buffer slab by slab, pass 2 re-projects
+# each slab and writes the depth-test winners.  Identical output to the
+# single-pass version for any chunk count.
+_SPLAT_CHUNK = 1 << 17
 
-    half = point_size // 2
-    offs = jnp.arange(-half, point_size - half)
-    du, dv = jnp.meshgrid(offs, offs, indexing="ij")
-    uu = (ui[:, None] + du.reshape(-1)[None, :]).reshape(-1)
-    vv = (vi[:, None] + dv.reshape(-1)[None, :]).reshape(-1)
+
+def _splat_core(points_cam, colors01, n_valid, fx, fy, ppx, ppy, coeffs, model, width, height, point_size):
+    n = points_cam.shape[0]
     k = point_size * point_size
-    zz = jnp.repeat(z, k)
-    cc = jnp.repeat(colors01, k, axis=0)
-    ok = jnp.repeat(valid, k) & (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
-    flat = jnp.where(ok, vv * width + uu, width * height)  # drop slot at end
-
+    drop = width * height
     inf = jnp.float32(jnp.inf)
-    zbuf = jnp.full((width * height + 1,), inf, jnp.float32)
-    zbuf = zbuf.at[flat].min(jnp.where(ok, zz, inf))
-    win = ok & (zz <= zbuf[flat] + 1e-7)
-    img = jnp.ones((width * height + 1, 3), jnp.float32)  # white background
-    img = img.at[jnp.where(win, flat, width * height)].set(cc)
-    alpha = (zbuf[: width * height] < inf).astype(jnp.float32)
-    rgb = img[: width * height].reshape(height, width, 3)
+
+    def proj(lo, hi):
+        pc = points_cam[lo:hi]
+        z = pc[:, 2]
+        x = pc[:, 0] / jnp.maximum(z, 1e-9)
+        y = pc[:, 1] / jnp.maximum(z, 1e-9)
+        if model in (cam.DIST_MODIFIED_BROWN_CONRADY, cam.DIST_INVERSE_BROWN_CONRADY):
+            x, y = cam._distort_brown_conrady(x, y, coeffs)
+        ui = jnp.round(x * fx + ppx).astype(jnp.int32)
+        vi = jnp.round(y * fy + ppy).astype(jnp.int32)
+        valid = (z > 1e-6) & (ui >= -point_size) & (ui < width + point_size)
+        valid &= (vi >= -point_size) & (vi < height + point_size)
+        # bucket-padded point axis: pad rows beyond the real count are
+        # masked by index (finite dummy coordinates)
+        valid &= jnp.arange(lo, hi) < n_valid
+        half = point_size // 2
+        offs = jnp.arange(-half, point_size - half)
+        du, dv = jnp.meshgrid(offs, offs, indexing="ij")
+        uu = (ui[:, None] + du.reshape(-1)[None, :]).reshape(-1)
+        vv = (vi[:, None] + dv.reshape(-1)[None, :]).reshape(-1)
+        zz = jnp.repeat(z, k)
+        ok = jnp.repeat(valid, k) & (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
+        flat = jnp.where(ok, vv * width + uu, drop)  # drop slot at end
+        return flat, zz, ok
+
+    slabs = [(lo, min(lo + _SPLAT_CHUNK, n)) for lo in range(0, n, _SPLAT_CHUNK)]
+    zbuf = jnp.full((drop + 1,), inf, jnp.float32)
+    for lo, hi in slabs:
+        flat, zz, ok = proj(lo, hi)
+        zbuf = zbuf.at[flat].min(jnp.where(ok, zz, inf))
+    img = jnp.ones((drop + 1, 3), jnp.float32)  # white background
+    for lo, hi in slabs:
+        flat, zz, ok = proj(lo, hi)
+        cc = jnp.repeat(colors01[lo:hi], k, axis=0)
+        win = ok & (zz <= zbuf[flat] + 1e-7)
+        img = img.at[jnp.where(win, flat, drop)].set(cc)
+    alpha = (zbuf[:drop] < inf).astype(jnp.float32)
+    rgb = img[:drop].reshape(height, width, 3)
     return rgb, alpha.reshape(height, width)
 
 
@@ -68,7 +88,7 @@ _splat = partial(jax.jit, static_argnames=("model", "width", "height", "point_si
 
 @partial(jax.jit, static_argnames=("model", "width", "height", "point_size"))
 def _splat_batch_u8(
-    points_world, colors01, w2c_batch, fx, fy, ppx, ppy, coeffs, model, width, height, point_size
+    points_world, colors01, n_valid, w2c_batch, fx, fy, ppx, ppy, coeffs, model, width, height, point_size
 ):
     """All frames in one dispatch, packed uint8 RGBA on device.
 
@@ -80,7 +100,8 @@ def _splat_batch_u8(
     def one(w2c):
         pts_cam = points_world @ w2c[:3, :3].T + w2c[:3, 3]
         rgb, alpha = _splat_core(
-            pts_cam, colors01, fx, fy, ppx, ppy, coeffs, model, width, height, point_size
+            pts_cam, colors01, n_valid, fx, fy, ppx, ppy, coeffs, model,
+            width, height, point_size,
         )
         rgba = jnp.concatenate([rgb, alpha[..., None]], axis=-1)
         return jnp.round(jnp.clip(rgba, 0.0, 1.0) * 255.0).astype(jnp.uint8)
@@ -98,7 +119,7 @@ def render_pointcloud_views(
     """Batched GT renders -> uint8 RGBA (F, H, W, 4), one device dispatch."""
     pts = jnp.asarray(points_world, jnp.float32)
     col = _colors01(colors, len(pts))
-    pts, col = _pad_points_bucket(pts, col)
+    pts, col, n_valid = _pad_points_bucket(pts, col)
     c2w = np.asarray(cam_to_world_batch, np.float64)
     w2c = np.linalg.inv(c2w)
     # pad the frame axis to a bucket so every coverage view count shares a
@@ -111,6 +132,7 @@ def render_pointcloud_views(
     out = _splat_batch_u8(
         pts,
         col,
+        n_valid,
         jnp.asarray(w2c34, jnp.float32),
         jnp.float32(intr.fx),
         jnp.float32(intr.fy),
@@ -135,21 +157,23 @@ def _colors01(colors, n):
 
 
 def _pad_points_bucket(pts, col):
-    """Pad the point axis to a power-of-2 bucket with NaN points.
+    """Pad the point axis to a power-of-2 bucket; returns (pts, col, n_real).
 
     Every object has its own (arbitrary) point count after voxel thinning,
     and each distinct count would compile its own splat program (~25 s per
     shape on a remote TPU — dataset generation over dozens of objects spent
-    more time compiling than rendering).  NaN points fail the z > 1e-6
-    validity test in _splat_core for EVERY camera, so padding is exact.
+    more time compiling than rendering).  Pad rows are FINITE zeros and are
+    masked by index inside _splat_core (``n_valid``) — NaN padding, though
+    semantically exact, reproducibly faulted the axon TPU worker inside
+    128-frame 1280x720 splat programs.
     """
     n = pts.shape[0]
     b = 1 << max(12, (int(n) - 1).bit_length())
     if b > n:
         pad = b - n
-        pts = jnp.concatenate([pts, jnp.full((pad, 3), jnp.nan, jnp.float32)])
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), jnp.float32)])
         col = jnp.concatenate([col, jnp.zeros((pad, 3), jnp.float32)])
-    return pts, col
+    return pts, col, jnp.int32(n)
 
 
 def render_pointcloud(
@@ -166,7 +190,7 @@ def render_pointcloud(
     """
     pts = jnp.asarray(points_world, jnp.float32)
     col = _colors01(colors, len(pts))
-    pts, col = _pad_points_bucket(pts, col)
+    pts, col, n_valid = _pad_points_bucket(pts, col)
     c2w = np.asarray(cam_to_world, np.float64)
     w2c = np.linalg.inv(c2w)
     pts_cam = pts @ jnp.asarray(w2c[:3, :3].T, jnp.float32) + jnp.asarray(
@@ -176,6 +200,7 @@ def render_pointcloud(
     return _splat(
         pts_cam,
         col,
+        n_valid,
         jnp.float32(intr.fx),
         jnp.float32(intr.fy),
         jnp.float32(intr.ppx),
