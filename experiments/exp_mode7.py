@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 ROOT = "/tmp/prvnet_ws"
-NAMES = ["blob1", "torus1", "box1"]
+NAMES = ["blob1", "torus1", "box0"]
 
 
 def main():
