@@ -186,15 +186,10 @@ def _tighten_interval(params, origins, dirs, tmin, tmax, valid, nc, cfg):
     return tmin + lo * span_c, tmin + hi * span_c, any_occ
 
 
-def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg):
-    """Two-level render probe against the precomputed occupancy tables.
-
-    Level 1: render_probe_coarse samples against the dilated block-max
-    volume via factorized one-hot matmuls — zero gathers.  Level 2:
-    render_probe_fine samples of trilinear corner-sigma — one 16-byte row
-    gather each, instead of the full field MLP probe (a ~64-byte-row
-    gather + PE + MLP per sample).  Same saturation-aware clamping as
-    ``_tighten_interval``.
+def _probe_level1(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg):
+    """Level-1 render probe: render_probe_coarse samples against the
+    dilated block-max volume via factorized one-hot matmuls — zero
+    gathers.  Returns the tightened (t1min, t1max, any1).
     """
     g = cfg.voxel_grid_size
     # level-1 detection reach per sample is (1 + 2 dilation) * block
@@ -207,7 +202,6 @@ def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg)
     # bound the miss risk empirically.
     reach = 3 * _PROBE_BLOCK
     n1 = max(cfg.render_probe_coarse, -(-int(1.04 * (g - 1)) // reach))
-    n2 = cfg.render_probe_fine
     span = tmax - tmin
 
     base1 = (jnp.arange(n1, dtype=jnp.float32)[None, :] + 0.5) / n1
@@ -224,9 +218,17 @@ def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg)
     # half-segment margin; the block dilation already covers overhang
     lo1 = jnp.maximum(first1 - 0.5, 0.0) / n1
     hi1 = jnp.minimum(last1 + 1.5, n1) / n1
-    t1min = tmin + lo1 * span
-    t1max = tmin + hi1 * span
+    return tmin + lo1 * span, tmin + hi1 * span, any1
 
+
+def _probe_level2(aux: RenderAux, origins, dirs, t1min, t1max, cfg):
+    """Level-2 render probe: render_probe_fine samples of trilinear
+    corner-sigma — one 16-byte row gather each, instead of the full field
+    MLP probe (a ~64-byte-row gather + PE + MLP per sample).  Same
+    saturation-aware clamping as ``_tighten_interval``.
+    """
+    g = cfg.voxel_grid_size
+    n2 = cfg.render_probe_fine
     span2 = t1max - t1min
     base2 = (jnp.arange(n2, dtype=jnp.float32)[None, :] + 0.5) / n2
     ts2 = t1min[:, None] + base2 * span2[:, None]
@@ -245,7 +247,16 @@ def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg)
     last2 = jnp.minimum(last2, first_sat)
     lo2 = jnp.maximum(first2 - 1, 0).astype(jnp.float32) / n2
     hi2 = jnp.minimum(last2 + 2, n2).astype(jnp.float32) / n2
-    return t1min + lo2 * span2, t1min + hi2 * span2, any1 & any2
+    return t1min + lo2 * span2, t1min + hi2 * span2, any2
+
+
+def _tighten_interval_aux(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg):
+    """Two-level render probe (level-1 pooled + level-2 corner-sigma) —
+    the fused form; the three-phase tile render calls the levels
+    separately with a compaction in between."""
+    t1min, t1max, any1 = _probe_level1(aux, origins, dirs, tmin, tmax, valid, cfg)
+    tlo, thi, any2 = _probe_level2(aux, origins, dirs, t1min, t1max, cfg)
+    return tlo, thi, any1 & any2
 
 
 def _sample_cdf(ts, weights, n_fine, key):
@@ -616,78 +627,117 @@ def _jit_render(params, origins, dirs, cfg, aux=None):
 def _render_tiles_two_phase(
     params, od_t, order_pad, stop_t, n_act, n_tiles, t, cfg, aux, chunk
 ):
-    """Probe-then-march tile render: phase A probes EVERY active-tile ray
-    against the precomputed occupancy tables (24 narrow rows/ray), phase B
-    fine-marches ONLY the probe-occupied rays (the expensive 24 wide
-    rows + MLP per ray) in densely compacted chunks.
+    """Probe-then-march tile render, three phases with compaction between
+    each: A1 probes EVERY active-tile ray against the dilated block-max
+    volume (one-hot matmuls, zero gathers); A2 probes ONLY the
+    level-1-occupied rays against the corner-sigma table (24 narrow row
+    gathers/ray — the dominant probe cost, exp_breakdown2); B fine-marches
+    ONLY the level-2-occupied rays (24 wide rows + MLP per ray).
 
     Why: tile compaction keeps sphere-miss rays out, but the bounding
     sphere's silhouette is 2-4x the object's — most active-tile rays cross
-    the sphere yet hit nothing, and the fused single-phase march pays the
-    full fine-march cost for them anyway (static shapes).  Splitting at the
-    probe moves the fine march onto the truly-occupied subset; outputs are
-    bit-identical to the fused path (unoccupied rays composite to exact
-    zeros either way).  Costs one extra host sync (the occupied count).
+    the sphere yet hit nothing, and a fused march pays the full cost for
+    them anyway (static shapes).  Each split moves the next, more
+    expensive stage onto the smaller surviving subset; outputs are
+    bit-identical to the fused path (rays dropped at any level composite
+    to exact zeros either way).  Costs two host syncs (the survivor
+    counts).
     """
     ct = max(chunk // t, 1)
-    tlo, thi, occ = [], [], []
+    t1lo, t1hi, occ1 = [], [], []
     for i in range(0, stop_t, ct):
-        a, b, c = _jit_probe_tiles(od_t, order_pad[i : i + ct], cfg, aux)
+        a, b, c = _jit_probe_tiles_l1(od_t, order_pad[i : i + ct], cfg, aux)
+        t1lo.append(a)
+        t1hi.append(b)
+        occ1.append(c)
+    t1lo = jnp.concatenate(t1lo)
+    t1hi = jnp.concatenate(t1hi)
+    occ1 = jnp.concatenate(occ1)
+    rays_act = _jit_gather_tile_rays(od_t, order_pad[:stop_t])
+    od1, t1lo_o, t1hi_o, occ1_o, pos1, n1 = _jit_partition_rays(
+        rays_act, t1lo, t1hi, occ1, chunk
+    )
+    n1 = int(n1)
+    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, od1.shape[0])
+    if stop1 == 0:
+        return jnp.zeros((n_tiles, 4 * t))
+    tlo, thi, occ2 = [], [], []
+    for i in range(0, stop1, chunk):
+        a, b, c = _jit_probe_l2(
+            od1[i : i + chunk],
+            t1lo_o[i : i + chunk],
+            t1hi_o[i : i + chunk],
+            occ1_o[i : i + chunk],
+            cfg,
+            aux,
+        )
         tlo.append(a)
         thi.append(b)
-        occ.append(c)
+        occ2.append(c)
     tlo = jnp.concatenate(tlo)
     thi = jnp.concatenate(thi)
-    occ = jnp.concatenate(occ)
-    od_occ, tlo_o, thi_o, occ_o, pos_r, n_occ = _jit_prepare_march(
-        od_t, order_pad[:stop_t], tlo, thi, occ, chunk
+    occ2 = jnp.concatenate(occ2)
+    od2, tlo_o, thi_o, occ2_o, pos2, n2 = _jit_partition_rays(
+        od1[:stop1], tlo, thi, occ2, chunk
     )
-    n_occ = int(n_occ)
-    stop_b = min(((n_occ + chunk - 1) // chunk) * chunk, od_occ.shape[0])
+    n2 = int(n2)
+    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, od2.shape[0])
     outs = []
-    for i in range(0, stop_b, chunk):
+    for i in range(0, stop2, chunk):
         outs.append(
             _jit_march_interval(
                 params,
-                od_occ[i : i + chunk],
+                od2[i : i + chunk],
                 tlo_o[i : i + chunk],
                 thi_o[i : i + chunk],
-                occ_o[i : i + chunk],
+                occ2_o[i : i + chunk],
                 cfg,
             )
         )
     rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
-    rgba_act = _jit_unpermute_rays(rgba_occ, pos_r)  # (stop_t * t, 4)
+    rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
+    rgba_act = _jit_unpermute_rays(rgba_l1, pos1)  # (stop_t * t, 4)
     return _scatter_tiles(
         rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act
     )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _jit_probe_tiles(od_t, tidx, cfg, aux):
-    """Phase A: two-level occupancy probe per ray -> (t_lo, t_hi, occ)."""
+def _jit_probe_tiles_l1(od_t, tidx, cfg, aux):
+    """Phase A1: level-1 pooled occupancy probe per ray."""
     ct = tidx.shape[0]
     t = od_t.shape[1] // 6
     rays = od_t[tidx].reshape(ct * t, 6)
     o, d = rays[:, :3], rays[:, 3:]
     tmin, tmax, valid = ray_sphere(o, d)
-    t_lo, t_hi, any_occ = _tighten_interval_aux(aux, o, d, tmin, tmax, valid, cfg)
-    return t_lo, t_hi, any_occ & valid
+    t1lo, t1hi, any1 = _probe_level1(aux, o, d, tmin, tmax, valid, cfg)
+    return t1lo, t1hi, any1 & valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_probe_l2(od, t1lo, t1hi, occ1, cfg, aux):
+    """Phase A2: level-2 corner-sigma probe on level-1 survivors."""
+    tlo, thi, any2 = _probe_level2(aux, od[:, :3], od[:, 3:], t1lo, t1hi, cfg)
+    return tlo, thi, any2 & occ1
+
+
+@jax.jit
+def _jit_gather_tile_rays(od_t, order_stop):
+    return od_t[order_stop].reshape(order_stop.shape[0] * (od_t.shape[1] // 6), 6)
 
 
 @partial(jax.jit, static_argnames=("pad",))
-def _jit_prepare_march(od_t, order_stop, tlo, thi, occ, pad):
-    """Occupied-rays-first partition of the active-tile rays (+ one dead
-    chunk of padding so host-side chunking never overruns)."""
-    m = order_stop.shape[0]
-    t = od_t.shape[1] // 6
-    rays = od_t[order_stop].reshape(m * t, 6)
+def _jit_partition_rays(rays, tlo, thi, occ, pad):
+    """Occupied-rays-first stable partition of flat rays (+ one dead chunk
+    of padding so host-side chunking never overruns); ``pos`` maps each
+    input ray to its partitioned slot."""
+    m = rays.shape[0]
     n_occ = jnp.sum(occ)
     pos_hit = jnp.cumsum(occ) - 1
     pos_miss = n_occ + jnp.cumsum(~occ) - 1
     pos = jnp.where(occ, pos_hit, pos_miss).astype(jnp.int32)
-    order_r = jnp.zeros((m * t,), jnp.int32).at[pos].set(
-        jnp.arange(m * t, dtype=jnp.int32), unique_indices=True
+    order_r = jnp.zeros((m,), jnp.int32).at[pos].set(
+        jnp.arange(m, dtype=jnp.int32), unique_indices=True
     )
     od_occ = jnp.concatenate([rays[order_r], jnp.zeros((pad, 6))])
     tlo_o = jnp.concatenate([tlo[order_r], jnp.zeros((pad,))])

@@ -100,7 +100,6 @@ def tp_voxel_field(
     way, rays the other — XLA keeps the psum on the tp sub-ring).
     """
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
 
     from ..nerf.model import radiance
     from ..nerf.voxelfield import blend_rows, cell_and_frac, density_mlp
@@ -118,10 +117,12 @@ def tp_voxel_field(
 
     others = {k: v for k, v in params.items() if k != "grid"}
     bspec = P(batch_axis) if batch_axis else P()
-    return shard_map(
+    import jax
+
+    return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis), P(), bspec, bspec),
         out_specs=(bspec, bspec),
-        check_rep=False,
+        check_vma=False,
     )(params["grid"], others, x, dirs)

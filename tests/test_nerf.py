@@ -244,34 +244,31 @@ def test_render_views_tile_path_wide_frame():
     np.testing.assert_allclose(np.asarray(img[1]), ref, atol=2e-3)
 
 
-def test_two_phase_prepare_march_partition():
-    """_jit_prepare_march puts occupied rays first (order preserved),
+def test_two_phase_partition_rays():
+    """_jit_partition_rays puts occupied rays first (order preserved),
     appends one dead pad chunk, and pos inverts the permutation."""
-    from nerf_prv_tpu.nerf.render import _jit_prepare_march
+    from nerf_prv_tpu.nerf.render import _jit_partition_rays
 
-    t = 4  # tiny tile for the test
-    m = 3  # tiles
     rng = np.random.default_rng(0)
-    od_t = jnp.asarray(rng.normal(size=(m, 6 * t)).astype(np.float32))
-    order = jnp.arange(m, dtype=jnp.int32)
+    rays_np = rng.normal(size=(12, 6)).astype(np.float32)
+    rays = jnp.asarray(rays_np)
     occ = jnp.asarray([True, False, True, True, False, False, True, False,
                        False, True, False, True])
     tlo = jnp.arange(12, dtype=jnp.float32) * 0.1
     thi = tlo + 1.0
-    od_occ, tlo_o, thi_o, occ_o, pos, n_occ = _jit_prepare_march(
-        od_t, order, tlo, thi, occ, pad=4
+    od_occ, tlo_o, thi_o, occ_o, pos, n_occ = _jit_partition_rays(
+        rays, tlo, thi, occ, pad=4
     )
     n_occ = int(n_occ)
     assert n_occ == 6
     assert od_occ.shape == (12 + 4, 6)
     # first n_occ rows are the occupied rays in original order
-    rays = np.asarray(od_t).reshape(12, 6)
     occ_idx = np.nonzero(np.asarray(occ))[0]
-    np.testing.assert_allclose(np.asarray(od_occ[:6]), rays[occ_idx], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(od_occ[:6]), rays_np[occ_idx], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(tlo_o[:6]), np.asarray(tlo)[occ_idx])
     assert bool(np.asarray(occ_o[:6]).all()) and not np.asarray(occ_o[6:]).any()
     # pos maps each original ray to its partitioned slot
     for i in range(12):
         np.testing.assert_allclose(
-            np.asarray(od_occ[int(pos[i])]), rays[i], rtol=1e-6
+            np.asarray(od_occ[int(pos[i])]), rays_np[i], rtol=1e-6
         )
