@@ -30,9 +30,8 @@ def main():
     from nerf_prv_tpu.nerf.rays import load_dataset, ray_sphere
     from nerf_prv_tpu.nerf.render import (
         _RENDER_TILE,
-        _jit_gather_tile_rays,
         _jit_march_interval,
-        _jit_partition_rays,
+        _jit_partition_packed,
         _jit_probe_l2,
         _jit_probe_tiles_l1,
         _jit_unpermute_rays,
@@ -123,78 +122,54 @@ def main():
     def phase_a1():
         outs = []
         for i in range(0, stop_t, ct):
-            a, b, c = _jit_probe_tiles_l1(od_t, order_pad[i:i + ct], cfg, aux)
-            outs.append(c)
-        return sync(jnp.concatenate(outs).astype(jnp.int32))
+            outs.append(_jit_probe_tiles_l1(od_t, order_pad[i:i + ct], cfg, aux))
+        return sync(jnp.concatenate(outs)[:, 8])
 
     t_a1 = timeit(phase_a1)
 
-    t1lo, t1hi, occ1 = [], [], []
+    packs = []
     for i in range(0, stop_t, ct):
-        a, b, c = _jit_probe_tiles_l1(od_t, order_pad[i:i + ct], cfg, aux)
-        t1lo.append(a)
-        t1hi.append(b)
-        occ1.append(c)
-    t1lo = jnp.concatenate(t1lo)
-    t1hi = jnp.concatenate(t1hi)
-    occ1 = jnp.concatenate(occ1)
+        packs.append(_jit_probe_tiles_l1(od_t, order_pad[i:i + ct], cfg, aux))
+    pack_act = jnp.concatenate(packs)
 
     # ---- partition 1 --------------------------------------------------------
     def part1():
-        rays_act = _jit_gather_tile_rays(od_t, order_pad[:stop_t])
-        r = _jit_partition_rays(rays_act, t1lo, t1hi, occ1, chunk)
-        return sync(r[5])
+        r = _jit_partition_packed(pack_act, chunk)
+        return sync(r[2])
 
     t_p1 = timeit(part1)
-    rays_act = _jit_gather_tile_rays(od_t, order_pad[:stop_t])
-    od1, t1lo_o, t1hi_o, occ1_o, pos1, n1 = _jit_partition_rays(
-        rays_act, t1lo, t1hi, occ1, chunk
-    )
+    pack1, pos1, n1 = _jit_partition_packed(pack_act, chunk)
     n1 = int(n1)
-    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, od1.shape[0])
+    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, pack1.shape[0])
 
     # ---- phase A2 -----------------------------------------------------------
     def phase_a2():
         outs = []
         for i in range(0, stop1, chunk):
-            a, b, c = _jit_probe_l2(od1[i:i + chunk], t1lo_o[i:i + chunk],
-                                    t1hi_o[i:i + chunk], occ1_o[i:i + chunk],
-                                    cfg, aux)
-            outs.append(c)
-        return sync(jnp.concatenate(outs).astype(jnp.int32))
+            outs.append(_jit_probe_l2(pack1[i:i + chunk], cfg, aux))
+        return sync(jnp.concatenate(outs)[:, 8])
 
     t_a2 = timeit(phase_a2)
-    tlo, thi, occ2 = [], [], []
+    packs2 = []
     for i in range(0, stop1, chunk):
-        a, b, c = _jit_probe_l2(od1[i:i + chunk], t1lo_o[i:i + chunk],
-                                t1hi_o[i:i + chunk], occ1_o[i:i + chunk],
-                                cfg, aux)
-        tlo.append(a)
-        thi.append(b)
-        occ2.append(c)
-    tlo = jnp.concatenate(tlo)
-    thi = jnp.concatenate(thi)
-    occ2 = jnp.concatenate(occ2)
+        packs2.append(_jit_probe_l2(pack1[i:i + chunk], cfg, aux))
+    pack2all = jnp.concatenate(packs2)
 
     # ---- partition 2 --------------------------------------------------------
     def part2():
-        r = _jit_partition_rays(od1[:stop1], tlo, thi, occ2, chunk)
-        return sync(r[5])
+        r = _jit_partition_packed(pack2all, chunk)
+        return sync(r[2])
 
     t_p2 = timeit(part2)
-    od2, tlo_o, thi_o, occ2_o, pos2, n2 = _jit_partition_rays(
-        od1[:stop1], tlo, thi, occ2, chunk
-    )
+    pack2, pos2, n2 = _jit_partition_packed(pack2all, chunk)
     n2 = int(n2)
-    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, od2.shape[0])
+    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, pack2.shape[0])
 
     # ---- phase B ------------------------------------------------------------
     def phase_b():
         outs = []
         for i in range(0, stop2, chunk):
-            outs.append(_jit_march_interval(
-                params, od2[i:i + chunk], tlo_o[i:i + chunk],
-                thi_o[i:i + chunk], occ2_o[i:i + chunk], cfg))
+            outs.append(_jit_march_interval(params, pack2[i:i + chunk], cfg))
         return sync(jnp.concatenate(outs))
 
     t_b = timeit(phase_b)
@@ -202,9 +177,7 @@ def main():
     # ---- tail (unpermutes + tile scatter) -----------------------------------
     outs = []
     for i in range(0, stop2, chunk):
-        outs.append(_jit_march_interval(
-            params, od2[i:i + chunk], tlo_o[i:i + chunk],
-            thi_o[i:i + chunk], occ2_o[i:i + chunk], cfg))
+        outs.append(_jit_march_interval(params, pack2[i:i + chunk], cfg))
     rgba_occ = jnp.concatenate(outs)
 
     def tail():

@@ -64,6 +64,15 @@ class NerfConfig:
     # hid this — the probe interval, not train tightening, was the
     # quality knob (train_coarse=32 / n_samples=48 measured no gain)
     render_probe_fine: int = 24
+    # span-bucketed fine march (the TPU answer to CUDA's per-ray variable
+    # step counts): partition level-2 survivors by tightened-interval
+    # length and march rays whose span fits render_short_samples at the
+    # march's worst-case sample spacing with that count instead of
+    # render_n_samples.  Every ray's spacing stays <= the longest ray's
+    # spacing under the uniform march, so the march's resolution floor is
+    # unchanged; typical-ray spacing coarsens toward that floor.
+    render_span_bucket: bool = False
+    render_short_samples: int = 12
     # training-time interval tightening: when > 0, every train step probes
     # density at this many no-gradient midpoints per ray and marches its
     # n_samples inside the occupied-and-visible [t_lo, t_hi] only (with a

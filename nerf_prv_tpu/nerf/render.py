@@ -644,57 +644,46 @@ def _render_tiles_two_phase(
     counts).
     """
     ct = max(chunk // t, 1)
-    t1lo, t1hi, occ1 = [], [], []
+    packs = []
     for i in range(0, stop_t, ct):
-        a, b, c = _jit_probe_tiles_l1(od_t, order_pad[i : i + ct], cfg, aux)
-        t1lo.append(a)
-        t1hi.append(b)
-        occ1.append(c)
-    t1lo = jnp.concatenate(t1lo)
-    t1hi = jnp.concatenate(t1hi)
-    occ1 = jnp.concatenate(occ1)
-    rays_act = _jit_gather_tile_rays(od_t, order_pad[:stop_t])
-    od1, t1lo_o, t1hi_o, occ1_o, pos1, n1 = _jit_partition_rays(
-        rays_act, t1lo, t1hi, occ1, chunk
-    )
+        packs.append(_jit_probe_tiles_l1(od_t, order_pad[i : i + ct], cfg, aux))
+    pack1, pos1, n1 = _jit_partition_packed(jnp.concatenate(packs), chunk)
     n1 = int(n1)
-    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, od1.shape[0])
+    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, pack1.shape[0])
     if stop1 == 0:
         return jnp.zeros((n_tiles, 4 * t))
-    tlo, thi, occ2 = [], [], []
+    packs2 = []
     for i in range(0, stop1, chunk):
-        a, b, c = _jit_probe_l2(
-            od1[i : i + chunk],
-            t1lo_o[i : i + chunk],
-            t1hi_o[i : i + chunk],
-            occ1_o[i : i + chunk],
-            cfg,
-            aux,
-        )
-        tlo.append(a)
-        thi.append(b)
-        occ2.append(c)
-    tlo = jnp.concatenate(tlo)
-    thi = jnp.concatenate(thi)
-    occ2 = jnp.concatenate(occ2)
-    od2, tlo_o, thi_o, occ2_o, pos2, n2 = _jit_partition_rays(
-        od1[:stop1], tlo, thi, occ2, chunk
-    )
+        packs2.append(_jit_probe_l2(pack1[i : i + chunk], cfg, aux))
+    pack2, pos2, n2 = _jit_partition_packed(jnp.concatenate(packs2), chunk)
     n2 = int(n2)
-    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, od2.shape[0])
+    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, pack2.shape[0])
+    ns_long = cfg.render_n_samples or cfg.n_samples
+    pos3 = None
+    if cfg.render_span_bucket and stop2 > chunk and cfg.render_short_samples < ns_long:
+        # variable step counts, TPU-style: a third stable partition moves
+        # short-span rays to the front and whole chunks of them march with
+        # render_short_samples; only full chunks switch (the straddling
+        # chunk marches at the long count — quality can only go up there)
+        pack2, pos3, n_s = _jit_partition_short(
+            pack2[:stop2], cfg.render_short_samples, ns_long
+        )
+        c0 = (int(n_s) // chunk) * chunk
+    else:
+        c0 = 0
     outs = []
     for i in range(0, stop2, chunk):
         outs.append(
             _jit_march_interval(
                 params,
-                od2[i : i + chunk],
-                tlo_o[i : i + chunk],
-                thi_o[i : i + chunk],
-                occ2_o[i : i + chunk],
+                pack2[i : i + chunk],
                 cfg,
+                ns=cfg.render_short_samples if i < c0 else None,
             )
         )
     rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
+    if pos3 is not None:
+        rgba_occ = _jit_unpermute_rays(rgba_occ, pos3)  # back to pack2 order
     rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
     rgba_act = _jit_unpermute_rays(rgba_l1, pos1)  # (stop_t * t, 4)
     return _scatter_tiles(
@@ -704,53 +693,91 @@ def _render_tiles_two_phase(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _jit_probe_tiles_l1(od_t, tidx, cfg, aux):
-    """Phase A1: level-1 pooled occupancy probe per ray."""
+    """Phase A1: level-1 pooled occupancy probe per ray.
+
+    Emits PACKED rows ``[o(3) | d(3) | t_lo | t_hi | occ]`` (N, 9) — the
+    whole per-ray state moves through the partition as ONE wide row (row
+    count, not width, is what gathers/scatters charge for on this
+    platform; see PERF.md)."""
     ct = tidx.shape[0]
     t = od_t.shape[1] // 6
     rays = od_t[tidx].reshape(ct * t, 6)
     o, d = rays[:, :3], rays[:, 3:]
     tmin, tmax, valid = ray_sphere(o, d)
     t1lo, t1hi, any1 = _probe_level1(aux, o, d, tmin, tmax, valid, cfg)
-    return t1lo, t1hi, any1 & valid
+    occ = (any1 & valid).astype(rays.dtype)
+    return jnp.concatenate(
+        [rays, t1lo[:, None], t1hi[:, None], occ[:, None]], axis=-1
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _jit_probe_l2(od, t1lo, t1hi, occ1, cfg, aux):
-    """Phase A2: level-2 corner-sigma probe on level-1 survivors."""
-    tlo, thi, any2 = _probe_level2(aux, od[:, :3], od[:, 3:], t1lo, t1hi, cfg)
-    return tlo, thi, any2 & occ1
-
-
-@jax.jit
-def _jit_gather_tile_rays(od_t, order_stop):
-    return od_t[order_stop].reshape(order_stop.shape[0] * (od_t.shape[1] // 6), 6)
+def _jit_probe_l2(packed, cfg, aux):
+    """Phase A2: level-2 corner-sigma probe on level-1 survivors; returns
+    packed rows with the tightened interval and combined occupancy."""
+    o, d = packed[:, :3], packed[:, 3:6]
+    tlo, thi, any2 = _probe_level2(aux, o, d, packed[:, 6], packed[:, 7], cfg)
+    occ = (any2 & (packed[:, 8] > 0.5)).astype(packed.dtype)
+    return jnp.concatenate(
+        [packed[:, :6], tlo[:, None], thi[:, None], occ[:, None]], axis=-1
+    )
 
 
 @partial(jax.jit, static_argnames=("pad",))
-def _jit_partition_rays(rays, tlo, thi, occ, pad):
-    """Occupied-rays-first stable partition of flat rays (+ one dead chunk
-    of padding so host-side chunking never overruns); ``pos`` maps each
-    input ray to its partitioned slot."""
-    m = rays.shape[0]
+def _jit_partition_packed(packed, pad):
+    """Occupied-rays-first stable partition of packed rays (+ one dead
+    chunk of padding so host-side chunking never overruns); ``pos`` maps
+    each input ray to its partitioned slot.
+
+    ONE wide row-scatter moves everything: scattering the packed rows
+    directly to their destination slots costs one ~60 M rows/s pass,
+    where the scatter-iota-then-gather-each-array form paid the same
+    scatter price for the permutation alone and then four more
+    gather passes for the payloads (measured 67 ms -> ~25 ms per 1.2M
+    rays, experiments/exp_render_anatomy3.py)."""
+    m, width = packed.shape
+    occ = packed[:, 8] > 0.5
     n_occ = jnp.sum(occ)
     pos_hit = jnp.cumsum(occ) - 1
     pos_miss = n_occ + jnp.cumsum(~occ) - 1
     pos = jnp.where(occ, pos_hit, pos_miss).astype(jnp.int32)
-    order_r = jnp.zeros((m,), jnp.int32).at[pos].set(
-        jnp.arange(m, dtype=jnp.int32), unique_indices=True
-    )
-    od_occ = jnp.concatenate([rays[order_r], jnp.zeros((pad, 6))])
-    tlo_o = jnp.concatenate([tlo[order_r], jnp.zeros((pad,))])
-    thi_o = jnp.concatenate([thi[order_r], jnp.ones((pad,))])
-    occ_o = jnp.concatenate([occ[order_r], jnp.zeros((pad,), bool)])
-    return od_occ, tlo_o, thi_o, occ_o, pos, n_occ
+    # dead pad rows: od 0, t_lo 0, t_hi 1, occ 0
+    base = jnp.zeros((m + pad, width), packed.dtype).at[:, 7].set(1.0)
+    out = base.at[pos].set(packed, unique_indices=True)
+    return out, pos, n_occ
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _jit_march_interval(params, od, tlo, thi, occ, cfg):
+@partial(jax.jit, static_argnames=("ns_short", "ns_long"))
+def _jit_partition_short(packed, ns_short, ns_long):
+    """Short-span-first stable partition of the level-2 survivors.
+
+    A ray is "short" when marching its tightened span with ``ns_short``
+    samples keeps the sample spacing at or below the spacing the uniform
+    ``ns_long`` march gives the LONGEST occupied span — i.e. span <=
+    smax * ns_short / ns_long.  The input is already occupied-first
+    (``_jit_partition_packed``), and a stable partition keeps every
+    occupied ray ahead of the non-occupied stragglers, so the caller's
+    "march only the first ceil(n_occ/chunk) chunks" invariant holds.
+    No padding is appended: the input already carries a dead chunk.
+    """
+    occ = packed[:, 8] > 0.5
+    spans = packed[:, 7] - packed[:, 6]
+    smax = jnp.max(jnp.where(occ, spans, 0.0))
+    short = occ & (spans <= smax * (ns_short / ns_long))
+    n_short = jnp.sum(short)
+    pos_s = jnp.cumsum(short) - 1
+    pos_l = n_short + jnp.cumsum(~short) - 1
+    pos = jnp.where(short, pos_s, pos_l).astype(jnp.int32)
+    out = jnp.zeros_like(packed).at[pos].set(packed, unique_indices=True)
+    return out, pos, n_short
+
+
+@partial(jax.jit, static_argnames=("cfg", "ns"))
+def _jit_march_interval(params, packed, cfg, ns=None):
     """Phase B: deterministic fine march inside precomputed [t_lo, t_hi]."""
-    o, d = od[:, :3], od[:, 3:]
-    ns = cfg.render_n_samples or cfg.n_samples
+    o, d = packed[:, :3], packed[:, 3:6]
+    tlo, thi, occ = packed[:, 6], packed[:, 7], packed[:, 8] > 0.5
+    ns = ns or cfg.render_n_samples or cfg.n_samples
     span = (thi - tlo) / ns
     base = jnp.arange(ns, dtype=jnp.float32)[None, :]
     ts = tlo[:, None] + (base + 0.5) * span[:, None]

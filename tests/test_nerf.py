@@ -245,30 +245,67 @@ def test_render_views_tile_path_wide_frame():
 
 
 def test_two_phase_partition_rays():
-    """_jit_partition_rays puts occupied rays first (order preserved),
+    """_jit_partition_packed puts occupied rays first (order preserved),
     appends one dead pad chunk, and pos inverts the permutation."""
-    from nerf_prv_tpu.nerf.render import _jit_partition_rays
+    from nerf_prv_tpu.nerf.render import _jit_partition_packed
 
     rng = np.random.default_rng(0)
     rays_np = rng.normal(size=(12, 6)).astype(np.float32)
-    rays = jnp.asarray(rays_np)
-    occ = jnp.asarray([True, False, True, True, False, False, True, False,
-                       False, True, False, True])
-    tlo = jnp.arange(12, dtype=jnp.float32) * 0.1
-    thi = tlo + 1.0
-    od_occ, tlo_o, thi_o, occ_o, pos, n_occ = _jit_partition_rays(
-        rays, tlo, thi, occ, pad=4
+    occ_np = np.asarray([1, 0, 1, 1, 0, 0, 1, 0, 0, 1, 0, 1], np.float32)
+    tlo_np = np.arange(12, dtype=np.float32) * 0.1
+    thi_np = tlo_np + 1.0
+    packed = jnp.asarray(
+        np.concatenate(
+            [rays_np, tlo_np[:, None], thi_np[:, None], occ_np[:, None]], axis=-1
+        )
     )
+    out, pos, n_occ = _jit_partition_packed(packed, pad=4)
     n_occ = int(n_occ)
     assert n_occ == 6
-    assert od_occ.shape == (12 + 4, 6)
+    assert out.shape == (12 + 4, 9)
     # first n_occ rows are the occupied rays in original order
-    occ_idx = np.nonzero(np.asarray(occ))[0]
-    np.testing.assert_allclose(np.asarray(od_occ[:6]), rays_np[occ_idx], rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(tlo_o[:6]), np.asarray(tlo)[occ_idx])
-    assert bool(np.asarray(occ_o[:6]).all()) and not np.asarray(occ_o[6:]).any()
+    occ_idx = np.nonzero(occ_np > 0.5)[0]
+    np.testing.assert_allclose(np.asarray(out[:6, :6]), rays_np[occ_idx], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:6, 6]), tlo_np[occ_idx])
+    assert bool((np.asarray(out[:6, 8]) > 0.5).all())
+    assert not (np.asarray(out[6:, 8]) > 0.5).any()
+    # dead pad rows carry t_hi = 1 (non-degenerate span)
+    np.testing.assert_allclose(np.asarray(out[12:, 7]), 1.0)
     # pos maps each original ray to its partitioned slot
     for i in range(12):
         np.testing.assert_allclose(
-            np.asarray(od_occ[int(pos[i])]), rays_np[i], rtol=1e-6
+            np.asarray(out[int(pos[i]), :6]), rays_np[i], rtol=1e-6
+        )
+
+
+def test_span_bucket_partition_and_render():
+    """_jit_partition_short moves short-span occupied rays first (stable,
+    occupied rays stay ahead of non-occupied), and the span-bucketed
+    render path stays close to the uniform march."""
+    from nerf_prv_tpu.nerf.render import _jit_partition_short
+
+    # input is occupied-first (the function's precondition — it consumes
+    # _jit_partition_packed output); spans 0.1..0.8, smax=0.8, thresh 0.4
+    tlo_np = np.zeros(8, np.float32)
+    thi_np = np.asarray([0.1, 0.8, 0.3, 0.6, 0.7, 0.4, 0.5, 0.2], np.float32)
+    occ_np = np.asarray([1, 1, 1, 1, 1, 1, 1, 0], np.float32)
+    rays_np = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    packed = jnp.asarray(
+        np.concatenate(
+            [rays_np, tlo_np[:, None], thi_np[:, None], occ_np[:, None]], axis=-1
+        )
+    )
+    out, pos, n_short = _jit_partition_short(packed, 12, 24)
+    n_short = int(n_short)
+    # short = occupied & span <= 0.4: rows 0 (0.1), 2 (0.3), 5 (0.4)
+    assert n_short == 3
+    got_short = np.asarray(out[:3, 7])
+    np.testing.assert_allclose(got_short, [0.1, 0.3, 0.4])
+    # every occupied ray is ahead of the single non-occupied one
+    occ_sorted = np.asarray(out[:, 8]) > 0.5
+    assert occ_sorted[:7].all() and not occ_sorted[7]
+    # pos inverts the permutation
+    for i in range(8):
+        np.testing.assert_allclose(
+            np.asarray(out[int(pos[i]), :6]), rays_np[i], rtol=1e-6
         )
