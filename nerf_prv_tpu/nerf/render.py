@@ -15,6 +15,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .model import NerfConfig, field
 from .rays import ray_aabb, ray_sphere
@@ -482,18 +483,20 @@ def render_views(
         n_p = n + npad
         n_tiles = n_p // t
         od_t = od.reshape(n_tiles, 6 * t)
-        order_t, n_act = _tile_order(od, t)
-        n_act = int(n_act)
+        order_t, n_act_dev = _tile_order(od, t)
         ct = max(chunk // t, 1)
-        stop_t = min(((n_act + ct - 1) // ct) * ct, ((n_tiles + ct - 1) // ct) * ct)
-        order_pad = jnp.concatenate(
-            [order_t, jnp.zeros((max(stop_t - n_tiles, 0),), jnp.int32)]
-        )
-        if aux is not None and cfg.render_coarse > 0 and stop_t > 0:
+        if aux is not None and cfg.render_coarse > 0:
             out = _render_tiles_two_phase(
-                params, od_t, order_pad, stop_t, n_act, n_tiles, t, cfg, aux, chunk
+                params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk
             )
         else:
+            n_act = int(n_act_dev)
+            stop_t = min(
+                ((n_act + ct - 1) // ct) * ct, ((n_tiles + ct - 1) // ct) * ct
+            )
+            order_pad = jnp.concatenate(
+                [order_t, jnp.zeros((max(stop_t - n_tiles, 0),), jnp.int32)]
+            )
             outs = []
             for i in range(0, stop_t, ct):
                 outs.append(
@@ -624,71 +627,167 @@ def _jit_render(params, origins, dirs, cfg, aux=None):
     return render_rays(params, origins, dirs, cfg, key=None, aux=aux)
 
 
+# speculative chunk bounds for the sync-free pipeline below, keyed by
+# (n_tiles, t, chunk, bucket-config); values are the EXACT per-level
+# chunk needs observed on the previous call
+_SPEC_COUNTS: dict = {}
+
+
+@jax.jit
+def _jit_stack_counts(a, b, c, d):
+    return jnp.stack([a, b, c, d]).astype(jnp.int32)
+
+
 def _render_tiles_two_phase(
-    params, od_t, order_pad, stop_t, n_act, n_tiles, t, cfg, aux, chunk
+    params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk
 ):
     """Probe-then-march tile render, three phases with compaction between
     each: A1 probes EVERY active-tile ray against the dilated block-max
     volume (one-hot matmuls, zero gathers); A2 probes ONLY the
     level-1-occupied rays against the corner-sigma table (24 narrow row
-    gathers/ray — the dominant probe cost, exp_breakdown2); B fine-marches
-    ONLY the level-2-occupied rays (24 wide rows + MLP per ray).
+    gathers/ray); B fine-marches ONLY the level-2-occupied rays (24 wide
+    rows + MLP per ray).  Each split moves the next, more expensive stage
+    onto the smaller surviving subset; outputs are bit-identical to the
+    fused path (rays dropped at any level composite to exact zeros either
+    way).
 
-    Why: tile compaction keeps sphere-miss rays out, but the bounding
-    sphere's silhouette is 2-4x the object's — most active-tile rays cross
-    the sphere yet hit nothing, and a fused march pays the full cost for
-    them anyway (static shapes).  Each split moves the next, more
-    expensive stage onto the smaller surviving subset; outputs are
-    bit-identical to the fused path (rays dropped at any level composite
-    to exact zeros either way).  Costs two host syncs (the survivor
-    counts).
+    SYNC-FREE STEADY STATE: each stage's chunk count needs the previous
+    stage's survivor count, and a host readback through the axon tunnel
+    costs ~29 ms (experiments/exp_march_fixed.py) — three per render group
+    was ~18% of the whole render.  Instead the chunk bounds are
+    SPECULATED from the previous call's counts plus one chunk of margin
+    (consecutive orbit views drift slowly), every stage is issued without
+    blocking, and the actual counts come back in ONE readback that
+    overlaps the still-executing march.  Over-speculation probes dead
+    rays (occ=0 — harmless, bounded by the margin); under-speculation is
+    detected by the readback and falls back to this same function in
+    exact mode (rare).  First call per shape runs exact and seeds the
+    cache.
     """
     ct = max(chunk // t, 1)
-    packs = []
-    for i in range(0, stop_t, ct):
-        packs.append(_jit_probe_tiles_l1(od_t, order_pad[i : i + ct], cfg, aux))
-    pack1, pos1, n1 = _jit_partition_packed(jnp.concatenate(packs), chunk)
-    n1 = int(n1)
-    stop1 = min(((n1 + chunk - 1) // chunk) * chunk, pack1.shape[0])
-    if stop1 == 0:
-        return jnp.zeros((n_tiles, 4 * t))
-    packs2 = []
-    for i in range(0, stop1, chunk):
-        packs2.append(_jit_probe_l2(pack1[i : i + chunk], cfg, aux))
-    pack2, pos2, n2 = _jit_partition_packed(jnp.concatenate(packs2), chunk)
-    n2 = int(n2)
-    stop2 = min(((n2 + chunk - 1) // chunk) * chunk, pack2.shape[0])
+    cap_t = ((n_tiles + ct - 1) // ct) * ct
     ns_long = cfg.render_n_samples or cfg.n_samples
-    pos3 = None
-    if cfg.render_span_bucket and stop2 > chunk and cfg.render_short_samples < ns_long:
-        # variable step counts, TPU-style: a third stable partition moves
-        # short-span rays to the front and whole chunks of them march with
-        # render_short_samples; only full chunks switch (the straddling
-        # chunk marches at the long count — quality can only go up there)
-        pack2, pos3, n_s = _jit_partition_short(
-            pack2[:stop2], cfg.render_short_samples, ns_long
-        )
-        c0 = (int(n_s) // chunk) * chunk
-    else:
-        c0 = 0
-    outs = []
-    for i in range(0, stop2, chunk):
-        outs.append(
-            _jit_march_interval(
-                params,
-                pack2[i : i + chunk],
-                cfg,
-                ns=cfg.render_short_samples if i < c0 else None,
+    bucket_on = cfg.render_span_bucket and cfg.render_short_samples < ns_long
+    key = (n_tiles, t, chunk, bucket_on, cfg.render_short_samples)
+    # slack below stays INSIDE the chunk quantization: speculative stops
+    # land on the same chunk multiples the exact path produces, so both
+    # paths share one set of compiled programs (a margin of +1 whole chunk
+    # measured 35 s of fresh remote compiles on its first group).  When the
+    # counts repeated exactly (re-rendering a fixed view set — the eval
+    # and scoring loops do this), slack is dropped: near a chunk boundary
+    # it would round up to a whole dead chunk of probe/march work per
+    # level (~35 ms on the bench scene) for drift that is not happening.
+    spec = _SPEC_COUNTS.get(key)
+    stable = spec is not None and len(spec) == 5 and spec[4]
+    slack_t = 0 if stable else max(1, ct // 8)
+    slack = 0 if stable else chunk // 8
+    for _attempt in range(2):
+        exact = spec is None
+        if exact:
+            n_act = int(n_act_dev)
+            stop_t = min(((n_act + ct - 1) // ct) * ct, cap_t)
+        else:
+            stop_t = min(((spec[0] + slack_t + ct - 1) // ct) * ct, cap_t)
+        if stop_t == 0:
+            return jnp.zeros((n_tiles, 4 * t))
+        order_pad = (
+            jnp.concatenate(
+                [order_t, jnp.zeros((stop_t - n_tiles,), jnp.int32)]
             )
+            if stop_t > n_tiles
+            else order_t
         )
-    rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
-    if pos3 is not None:
-        rgba_occ = _jit_unpermute_rays(rgba_occ, pos3)  # back to pack2 order
-    rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
-    rgba_act = _jit_unpermute_rays(rgba_l1, pos1)  # (stop_t * t, 4)
-    return _scatter_tiles(
-        rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act
-    )
+        packs = []
+        for i in range(0, stop_t, ct):
+            packs.append(_jit_probe_tiles_l1(od_t, order_pad[i : i + ct], cfg, aux))
+        pack1, pos1, n1_dev = _jit_partition_packed(jnp.concatenate(packs), chunk)
+        if exact:
+            n1 = int(n1_dev)
+            stop1 = ((n1 + chunk - 1) // chunk) * chunk
+            if stop1 == 0:
+                _SPEC_COUNTS[key] = (n_act, 0, 0, 0, False)
+                return jnp.zeros((n_tiles, 4 * t))
+        else:
+            stop1 = min(
+                ((spec[1] + slack + chunk - 1) // chunk) * chunk, pack1.shape[0]
+            )
+            stop1 = max(stop1, chunk)
+        packs2 = []
+        for i in range(0, stop1, chunk):
+            packs2.append(_jit_probe_l2(pack1[i : i + chunk], cfg, aux))
+        # stop1 > 0 on every path here (exact mode early-returns on 0;
+        # speculative bounds are >= one chunk)
+        pack2, pos2, n2_dev = _jit_partition_packed(jnp.concatenate(packs2), chunk)
+        cap2 = pack2.shape[0]
+        if exact:
+            n2 = int(n2_dev)
+            stop2 = ((n2 + chunk - 1) // chunk) * chunk
+        else:
+            stop2 = min(((spec[2] + slack + chunk - 1) // chunk) * chunk, cap2)
+        pos3 = None
+        c0 = 0
+        ns_dev = jnp.int32(0)
+        if bucket_on and stop2 > chunk:
+            # variable step counts, TPU-style: a third stable partition
+            # moves short-span rays to the front and whole chunks of them
+            # march with render_short_samples; only full chunks switch
+            # (the straddling chunk marches at the long count — quality
+            # can only go up there)
+            pack2b, pos3, ns_dev = _jit_partition_short(
+                pack2[:stop2], cfg.render_short_samples, ns_long
+            )
+            pack2 = pack2b
+            if exact:
+                c0 = (int(ns_dev) // chunk) * chunk
+            else:
+                # slack DOWNWARD here: marching a long ray at the short
+                # count is the one speculation error that silently
+                # degrades output, so keep c0 <= n_short with slack and
+                # verify against the readback
+                c0 = max(0, ((spec[3] - slack) // chunk) * chunk)
+        outs = []
+        for i in range(0, stop2, chunk):
+            outs.append(
+                _jit_march_interval(
+                    params,
+                    pack2[i : i + chunk],
+                    cfg,
+                    ns=cfg.render_short_samples if i < c0 else None,
+                )
+            )
+        rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
+        if pos3 is not None:
+            rgba_occ = _jit_unpermute_rays(rgba_occ, pos3)  # back to pack2 order
+        rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
+        rgba_act = _jit_unpermute_rays(rgba_l1, pos1)  # (stop_t * t, 4)
+        out = _scatter_tiles(
+            rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act_dev
+        )
+        # one readback for all counts; in speculative mode it overlaps the
+        # queued march (the counts were produced stages earlier)
+        counts = np.asarray(
+            _jit_stack_counts(n_act_dev, n1_dev, n2_dev, ns_dev)
+        )
+        n_act, n1, n2, n_s = (int(x) for x in counts)
+        need_t = min(((n_act + ct - 1) // ct) * ct, cap_t)
+        need_1 = ((n1 + chunk - 1) // chunk) * chunk
+        need_2 = ((n2 + chunk - 1) // chunk) * chunk
+        ok = (
+            stop_t >= need_t
+            and stop1 >= min(need_1, pack1.shape[0])
+            and stop2 >= min(need_2, cap2)
+            and c0 <= n_s
+        )
+        if ok:
+            # remember the RAW counts: the next call re-quantizes with its
+            # slack, so spec stops track the exact path's chunk multiples;
+            # the stability flag marks counts that repeated exactly
+            repeat = spec is not None and tuple(spec[:4]) == (n_act, n1, n2, n_s)
+            _SPEC_COUNTS[key] = (n_act, n1, n2, n_s, repeat)
+            return out
+        # under-speculated: fall back to the exact path once
+        spec = None
+    return out  # unreachable: the exact attempt always verifies
 
 
 @partial(jax.jit, static_argnames=("cfg",))
