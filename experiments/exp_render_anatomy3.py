@@ -104,7 +104,11 @@ def main():
     )
 
     def timeit(fn, reps=3):
-        fn()  # warm/compile
+        # warm 3x: exact pass seeds the speculative-count cache, the 2nd
+        # compiles slack-rounded spec shapes, the 3rd reaches the stable
+        # slack-free steady state (render.py _SPEC_COUNTS)
+        for _ in range(3):
+            fn()
         t0 = time.perf_counter()
         for _ in range(reps):
             fn()

@@ -83,21 +83,27 @@ def _build_render_aux_jit(params, cfg: NerfConfig) -> RenderAux:
 
 
 def _pooled_lookup(pooled: jnp.ndarray, pos: jnp.ndarray, g: int) -> jnp.ndarray:
-    """Nearest-block values for pos (N, S, 3) in [0,1] — as factorized
-    one-hot matmuls over the tiny pooled volume, not gathers (row-count is
-    the gather bottleneck; a (N*S, 10) @ (10, 100) matmul is free)."""
+    """Nearest-block values for pos (N, S, 3) in [0,1] — as one-hot
+    matmuls over the tiny pooled volume, not gathers (row-count is the
+    gather bottleneck: a flat gather measured 72 M lookups/s where the
+    one-hot forms run 177-208 M; experiments/exp_probe_l1_variants.py).
+    The (x, y) axes fuse into one bf16 one-hot against a (nb^2, nb)
+    matmul — the fastest variant measured, and its largest live tensor
+    is the (M, nb^2) bf16 one-hot instead of an (M, nb^2) f32 product.
+    bf16 rounding of the pooled sigmas is harmless here: the values only
+    feed the occupancy threshold, whose margins the block dilation
+    dominates."""
     nb = pooled.shape[0]
     n, s = pos.shape[:2]
     b = jnp.clip(
         (pos.reshape(-1, 3) * (g - 1) / _PROBE_BLOCK).astype(jnp.int32), 0, nb - 1
     )
+    ar2 = jnp.arange(nb * nb, dtype=jnp.int32)
+    oxy = ((b[:, 0] * nb + b[:, 1])[:, None] == ar2[None, :]).astype(jnp.bfloat16)
+    vz = oxy @ pooled.reshape(nb * nb, nb).astype(jnp.bfloat16)  # (M, nb)
     ar = jnp.arange(nb, dtype=jnp.int32)
-    ox = (b[:, 0:1] == ar[None, :]).astype(jnp.float32)  # (M, nb)
-    oy = (b[:, 1:2] == ar[None, :]).astype(jnp.float32)
-    oz = (b[:, 2:3] == ar[None, :]).astype(jnp.float32)
-    vx = ox @ pooled.reshape(nb, nb * nb)          # (M, nb*nb)
-    vy = jnp.sum(vx.reshape(-1, nb, nb) * oy[:, :, None], axis=1)  # (M, nb)
-    return jnp.sum(vy * oz, axis=1).reshape(n, s)
+    oz = (b[:, 2:3] == ar[None, :]).astype(jnp.bfloat16)
+    return jnp.sum(vz * oz, axis=1).astype(jnp.float32).reshape(n, s)
 
 
 def _cell_sigma_at(cell_raw: jnp.ndarray, pos: jnp.ndarray, g: int) -> jnp.ndarray:
@@ -828,21 +834,25 @@ def _jit_partition_packed(packed, pad):
     chunk of padding so host-side chunking never overruns); ``pos`` maps
     each input ray to its partitioned slot.
 
-    ONE wide row-scatter moves everything: scattering the packed rows
-    directly to their destination slots costs one ~60 M rows/s pass,
-    where the scatter-iota-then-gather-each-array form paid the same
-    scatter price for the permutation alone and then four more
-    gather passes for the payloads (measured 67 ms -> ~25 ms per 1.2M
-    rays, experiments/exp_render_anatomy3.py)."""
+    One narrow iota-scatter inverts the permutation, then ONE wide gather
+    moves all payload: row gathers are width-free on this platform but
+    wide-row scatters are NOT — scattering the (N, 9) rows directly to
+    their slots measured 108 ms/1.2M rays vs 67 for the old
+    scatter-iota-plus-four-gathers form (exp_render_anatomy3 across
+    revisions); one payload gather instead of four keeps the packing win
+    without the wide scatter."""
     m, width = packed.shape
     occ = packed[:, 8] > 0.5
     n_occ = jnp.sum(occ)
     pos_hit = jnp.cumsum(occ) - 1
     pos_miss = n_occ + jnp.cumsum(~occ) - 1
     pos = jnp.where(occ, pos_hit, pos_miss).astype(jnp.int32)
+    order = jnp.zeros((m,), jnp.int32).at[pos].set(
+        jnp.arange(m, dtype=jnp.int32), unique_indices=True
+    )
     # dead pad rows: od 0, t_lo 0, t_hi 1, occ 0
-    base = jnp.zeros((m + pad, width), packed.dtype).at[:, 7].set(1.0)
-    out = base.at[pos].set(packed, unique_indices=True)
+    pad_rows = jnp.zeros((pad, width), packed.dtype).at[:, 7].set(1.0)
+    out = jnp.concatenate([packed[order], pad_rows])
     return out, pos, n_occ
 
 
@@ -867,8 +877,10 @@ def _jit_partition_short(packed, ns_short, ns_long):
     pos_s = jnp.cumsum(short) - 1
     pos_l = n_short + jnp.cumsum(~short) - 1
     pos = jnp.where(short, pos_s, pos_l).astype(jnp.int32)
-    out = jnp.zeros_like(packed).at[pos].set(packed, unique_indices=True)
-    return out, pos, n_short
+    order = jnp.zeros((packed.shape[0],), jnp.int32).at[pos].set(
+        jnp.arange(packed.shape[0], dtype=jnp.int32), unique_indices=True
+    )
+    return packed[order], pos, n_short
 
 
 @partial(jax.jit, static_argnames=("cfg", "ns"))
