@@ -446,19 +446,10 @@ def render_views(
     single jitted program — one dispatch per chunk, not per frame, which
     matters when dispatch latency is high (remote TPU tunnels).
     """
-    from .rays import pixel_dirs_cam
-
     chunk = chunk or _default_chunk(cfg)
     n_frames = origins.shape[0]
     h, w = camera.height, camera.width
-    u, v = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32))
-    d_cam = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))  # (HW, 3)
-    d_grid = jnp.einsum("fij,nj->fni", jnp.asarray(rotations), d_cam)
-    d_grid = d_grid / jnp.linalg.norm(d_grid, axis=-1, keepdims=True)
-    d_all = d_grid.reshape(-1, 3)
-    o_all = jnp.broadcast_to(
-        jnp.asarray(origins)[:, None, :], (n_frames, h * w, 3)
-    ).reshape(-1, 3)
+    d_cam = _cached_pixel_dirs(camera)  # (HW, 3), device-resident
 
     if aux is None and cfg.render_coarse > 0:
         # callers rendering one frame group; multi-group callers (eval,
@@ -481,15 +472,11 @@ def render_views(
         # past the permutation savings and take the per-ray path below.
         t = _RENDER_TILE
         npad = (-n) % t
-        od = jnp.concatenate([o_all, d_all], axis=-1)
-        if npad:
-            # pad rays point away from the volume -> sphere miss
-            miss = jnp.tile(jnp.asarray([[0.5, 0.5, 2.0, 0.0, 0.0, 1.0]]), (npad, 1))
-            od = jnp.concatenate([od, miss])
         n_p = n + npad
         n_tiles = n_p // t
-        od_t = od.reshape(n_tiles, 6 * t)
-        order_t, n_act_dev = _tile_order(od, t)
+        od_t, order_t, n_act_dev = _jit_assemble_tiles(
+            jnp.asarray(origins), jnp.asarray(rotations), d_cam, t, npad
+        )
         ct = max(chunk // t, 1)
         if aux is not None and cfg.render_coarse > 0:
             out = _render_tiles_two_phase(
@@ -521,6 +508,9 @@ def render_views(
         # per-ray compaction: one fused (N, 6) permutation gather + a
         # gather-based un-permute (scatters run ~60M rows/s on v5e where
         # gathers run ~80-250M; experiments/exp_vmem_gather.py)
+        o_all, d_all = _jit_assemble_rays(
+            jnp.asarray(origins), jnp.asarray(rotations), d_cam
+        )
         od_sorted, pos, n_hit = _compact_rays(o_all, d_all)
         n_hit = int(n_hit)
         pad = (-n) % chunk
@@ -537,6 +527,9 @@ def render_views(
         rgba_hit = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
         rgb, a = _gather_back(rgba_hit, pos, n)
     else:
+        o_all, d_all = _jit_assemble_rays(
+            jnp.asarray(origins), jnp.asarray(rotations), d_cam
+        )
         pad = (-n) % chunk
         d_pad = jnp.concatenate([d_all, jnp.ones((pad, 3))], axis=0)
         o_pad = jnp.concatenate([o_all, jnp.zeros((pad, 3))], axis=0)
@@ -553,6 +546,55 @@ def render_views(
 
 
 _RENDER_TILE = 128  # rays per compaction tile (render_views sphere path)
+
+# per-camera pixel-direction cache: intrinsics never change within a run,
+# and recomputing the (HW, 3) directions eagerly cost several dispatches
+# over million-ray arrays per render group
+_DCAM_CACHE: dict = {}
+
+
+def _cached_pixel_dirs(camera):
+    d = _DCAM_CACHE.get(camera)
+    if d is None:
+        from .rays import pixel_dirs_cam
+
+        h, w = camera.height, camera.width
+        u, v = jnp.meshgrid(
+            jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+        )
+        d = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))  # (HW, 3)
+        d.block_until_ready()
+        _DCAM_CACHE[camera] = d
+    return d
+
+
+@jax.jit
+def _jit_assemble_rays(origins, rotations, d_cam):
+    """(F,3) origins + (F,3,3) rotations + camera dirs -> flat ray stream."""
+    n_frames = origins.shape[0]
+    hw = d_cam.shape[0]
+    d_grid = jnp.einsum("fij,nj->fni", rotations, d_cam)
+    d_grid = d_grid / jnp.linalg.norm(d_grid, axis=-1, keepdims=True)
+    o_all = jnp.broadcast_to(origins[:, None, :], (n_frames, hw, 3)).reshape(-1, 3)
+    return o_all, d_grid.reshape(-1, 3)
+
+
+@partial(jax.jit, static_argnames=("t", "npad"))
+def _jit_assemble_tiles(origins, rotations, d_cam, t, npad):
+    """One fused program for the tile path's whole ray-stream assembly:
+    world-space directions, the (o | d) packing, miss-ray padding, the
+    tile reshape and the active-tiles-first tile order.  Eagerly this was
+    ~8 dispatches over multi-million-ray arrays per render group."""
+    o_all, d_all = _jit_assemble_rays(origins, rotations, d_cam)
+    od = jnp.concatenate([o_all, d_all], axis=-1)
+    if npad:
+        # pad rays point away from the volume -> sphere miss
+        miss = jnp.tile(jnp.asarray([[0.5, 0.5, 2.0, 0.0, 0.0, 1.0]]), (npad, 1))
+        od = jnp.concatenate([od, miss])
+    n_tiles = od.shape[0] // t
+    od_t = od.reshape(n_tiles, 6 * t)
+    order_t, n_act = _tile_order(od, t)
+    return od_t, order_t, n_act
 
 
 @partial(jax.jit, static_argnames=("t",))
