@@ -760,53 +760,73 @@ def _render_tiles_two_phase(
                 ((spec[1] + slack + chunk - 1) // chunk) * chunk, pack1.shape[0]
             )
             stop1 = max(stop1, chunk)
-        packs2 = []
-        for i in range(0, stop1, chunk):
-            packs2.append(_jit_probe_l2(pack1[i : i + chunk], cfg, aux))
         # stop1 > 0 on every path here (exact mode early-returns on 0;
         # speculative bounds are >= one chunk)
-        pack2, pos2, n2_dev = _jit_partition_packed(jnp.concatenate(packs2), chunk)
-        cap2 = pack2.shape[0]
-        if exact:
-            n2 = int(n2_dev)
-            stop2 = ((n2 + chunk - 1) // chunk) * chunk
+        if not bucket_on:
+            # FUSED probe+march: level 2 culls only ~13% of level-1
+            # survivors on production objects (l2-occ 642799 of l1-occ
+            # 741677 on the bench scene — its value is interval
+            # TIGHTENING, not culling), so compacting between probe and
+            # march buys a ~16 ms smaller march at a ~36 ms cost
+            # (partition2 + unpermute + the extra pipeline stage).
+            # Probe and march run in one program per chunk instead; one
+            # speculation level disappears with the partition.
+            c0, stop2, cap2 = 0, stop1, pack1.shape[0]
+            n2_dev, ns_dev = n1_dev, jnp.int32(0)
+            outs = []
+            for i in range(0, stop1, chunk):
+                outs.append(_jit_probe_march(params, pack1[i : i + chunk], cfg, aux))
+            rgba_l1 = jnp.concatenate(outs)
         else:
-            stop2 = min(((spec[2] + slack + chunk - 1) // chunk) * chunk, cap2)
-        pos3 = None
-        c0 = 0
-        ns_dev = jnp.int32(0)
-        if bucket_on and stop2 > chunk:
-            # variable step counts, TPU-style: a third stable partition
-            # moves short-span rays to the front and whole chunks of them
-            # march with render_short_samples; only full chunks switch
-            # (the straddling chunk marches at the long count — quality
-            # can only go up there)
-            pack2b, pos3, ns_dev = _jit_partition_short(
-                pack2[:stop2], cfg.render_short_samples, ns_long
+            packs2 = []
+            for i in range(0, stop1, chunk):
+                packs2.append(_jit_probe_l2(pack1[i : i + chunk], cfg, aux))
+            pack2, pos2, n2_dev = _jit_partition_packed(
+                jnp.concatenate(packs2), chunk
             )
-            pack2 = pack2b
+            cap2 = pack2.shape[0]
             if exact:
-                c0 = (int(ns_dev) // chunk) * chunk
+                n2 = int(n2_dev)
+                stop2 = ((n2 + chunk - 1) // chunk) * chunk
             else:
-                # slack DOWNWARD here: marching a long ray at the short
-                # count is the one speculation error that silently
-                # degrades output, so keep c0 <= n_short with slack and
-                # verify against the readback
-                c0 = max(0, ((spec[3] - slack) // chunk) * chunk)
-        outs = []
-        for i in range(0, stop2, chunk):
-            outs.append(
-                _jit_march_interval(
-                    params,
-                    pack2[i : i + chunk],
-                    cfg,
-                    ns=cfg.render_short_samples if i < c0 else None,
+                stop2 = min(
+                    ((spec[2] + slack + chunk - 1) // chunk) * chunk, cap2
                 )
-            )
-        rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
-        if pos3 is not None:
-            rgba_occ = _jit_unpermute_rays(rgba_occ, pos3)  # back to pack2 order
-        rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
+            pos3 = None
+            c0 = 0
+            ns_dev = jnp.int32(0)
+            if stop2 > chunk:
+                # variable step counts, TPU-style: a third stable partition
+                # moves short-span rays to the front and whole chunks of
+                # them march with render_short_samples; only full chunks
+                # switch (the straddling chunk marches at the long count —
+                # quality can only go up there)
+                pack2b, pos3, ns_dev = _jit_partition_short(
+                    pack2[:stop2], cfg.render_short_samples, ns_long
+                )
+                pack2 = pack2b
+                if exact:
+                    c0 = (int(ns_dev) // chunk) * chunk
+                else:
+                    # slack DOWNWARD here: marching a long ray at the short
+                    # count is the one speculation error that silently
+                    # degrades output, so keep c0 <= n_short with slack and
+                    # verify against the readback
+                    c0 = max(0, ((spec[3] - slack) // chunk) * chunk)
+            outs = []
+            for i in range(0, stop2, chunk):
+                outs.append(
+                    _jit_march_interval(
+                        params,
+                        pack2[i : i + chunk],
+                        cfg,
+                        ns=cfg.render_short_samples if i < c0 else None,
+                    )
+                )
+            rgba_occ = jnp.concatenate(outs) if outs else jnp.zeros((0, 4))
+            if pos3 is not None:
+                rgba_occ = _jit_unpermute_rays(rgba_occ, pos3)  # pack2 order
+            rgba_l1 = _jit_unpermute_rays(rgba_occ, pos2)  # (stop1, 4)
         rgba_act = _jit_unpermute_rays(rgba_l1, pos1)  # (stop_t * t, 4)
         out = _scatter_tiles(
             rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act_dev
@@ -925,12 +945,8 @@ def _jit_partition_short(packed, ns_short, ns_long):
     return packed[order], pos, n_short
 
 
-@partial(jax.jit, static_argnames=("cfg", "ns"))
-def _jit_march_interval(params, packed, cfg, ns=None):
-    """Phase B: deterministic fine march inside precomputed [t_lo, t_hi]."""
-    o, d = packed[:, :3], packed[:, 3:6]
-    tlo, thi, occ = packed[:, 6], packed[:, 7], packed[:, 8] > 0.5
-    ns = ns or cfg.render_n_samples or cfg.n_samples
+def _march_body(params, o, d, tlo, thi, occ, cfg, ns):
+    """Deterministic fine march inside [t_lo, t_hi] -> (N, 4) rgba."""
     span = (thi - tlo) / ns
     base = jnp.arange(ns, dtype=jnp.float32)[None, :]
     ts = tlo[:, None] + (base + 0.5) * span[:, None]
@@ -941,6 +957,31 @@ def _jit_march_interval(params, packed, cfg, ns=None):
         sigma, rgb, jnp.broadcast_to(span[:, None], sigma.shape)
     )
     return jnp.concatenate([out_rgb, out_alpha[:, None]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "ns"))
+def _jit_march_interval(params, packed, cfg, ns=None):
+    """Phase B: deterministic fine march inside precomputed [t_lo, t_hi]."""
+    o, d = packed[:, :3], packed[:, 3:6]
+    tlo, thi, occ = packed[:, 6], packed[:, 7], packed[:, 8] > 0.5
+    ns = ns or cfg.render_n_samples or cfg.n_samples
+    return _march_body(params, o, d, tlo, thi, occ, cfg, ns)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_probe_march(params, packed, cfg, aux):
+    """Fused phases A2+B: corner-sigma probe, interval tightening, and the
+    fine march in ONE program per chunk of level-1 survivors.
+
+    Value-identical to probe -> partition -> march: rays the probe finds
+    empty march with occ=0 and composite to exact zeros, the same result
+    the compacted path writes through its zero pad row."""
+    o, d = packed[:, :3], packed[:, 3:6]
+    occ1 = packed[:, 8] > 0.5
+    tlo, thi, any2 = _probe_level2(aux, o, d, packed[:, 6], packed[:, 7], cfg)
+    occ = any2 & occ1
+    ns = cfg.render_n_samples or cfg.n_samples
+    return _march_body(params, o, d, tlo, thi, occ, cfg, ns)
 
 
 @jax.jit
