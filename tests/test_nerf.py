@@ -309,3 +309,43 @@ def test_span_bucket_partition_and_render():
         np.testing.assert_allclose(
             np.asarray(out[int(pos[i]), :6]), rays_np[i], rtol=1e-6
         )
+
+
+def test_speculative_render_exact_spec_fallback():
+    """The sync-free tile render: the speculative steady state must be
+    bit-identical to the exact first call, counts must reach the stable
+    (slack-free) state on repeats, and an under-speculated call (field
+    got denser under the same cache key) must fall back and still match
+    a fresh exact render."""
+    import dataclasses
+
+    from nerf_prv_tpu.core.config import CameraConfig
+    from nerf_prv_tpu.nerf.render import _SPEC_COUNTS, build_render_aux, render_views
+
+    cam = CameraConfig(width=512, height=96, fx=400.0, fy=400.0,
+                       ppx=256.0, ppy=48.0)
+    cfg = NerfConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params["grid"] = params["grid"] + 0.5
+    aux = build_render_aux(params, cfg)
+    rot = jnp.eye(3)[None]
+    org = jnp.asarray([[0.5, 0.5, -0.6]])
+    _SPEC_COUNTS.clear()
+    a1 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux)
+    key = next(iter(_SPEC_COUNTS))
+    assert not _SPEC_COUNTS[key][4]  # first call: not yet stable
+    a2 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux)
+    assert _SPEC_COUNTS[key][4]  # counts repeated -> stable, slack-free
+    a3 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux)
+    assert bool(jnp.all(a1 == a2)) and bool(jnp.all(a1 == a3))
+
+    # denser field under the SAME cache key: survivor counts grow past the
+    # remembered bounds -> the verification readback must catch it and
+    # fall back to the exact path
+    params2 = dict(params)
+    params2["grid"] = params["grid"] + 3.0
+    aux2 = build_render_aux(params2, cfg)
+    b1 = render_views(params2, org, rot, cam, cfg, chunk=4096, aux=aux2)
+    _SPEC_COUNTS.clear()
+    b2 = render_views(params2, org, rot, cam, cfg, chunk=4096, aux=aux2)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
