@@ -76,7 +76,7 @@ def main():
     from nerf_prv_tpu.nerf.api import eval_nerf
     from nerf_prv_tpu.nerf.rays import load_dataset
     from nerf_prv_tpu.nerf.render import render_views
-    from nerf_prv_tpu.nerf.train import make_optimizer, train_chunk
+    from nerf_prv_tpu.nerf.train import build_hit_pool, make_optimizer, train_chunk
     from nerf_prv_tpu.pipeline import score_candidates_rgb_density
 
     cfg = NerfConfig()  # voxel field production defaults
@@ -110,17 +110,25 @@ def main():
         else cfg
     )
 
+    # hit-pixel pool: the production train() path precomputes the sphere-hit
+    # set once per scene (train.build_hit_pool) instead of oversampling +
+    # partitioning per step
+    pool, pool_n = (
+        build_hit_pool(rot_j, org_j, camera)
+        if cfg.bound == "sphere" else (None, None)
+    )
+
     def measure_chunk(phase_cfg, key_seed):
         nonlocal params, opt_state
         params, opt_state, losses = train_chunk(
             params, opt_state, jax.random.PRNGKey(key_seed), pixels_j, rot_j,
-            org_j, camera, phase_cfg, steps_meas
+            org_j, camera, phase_cfg, steps_meas, None, pool, pool_n
         )
         sync(losses)  # warm: pays compile for this exact scan length
         t0 = time.perf_counter()
         params, opt_state, losses = train_chunk(
             params, opt_state, jax.random.PRNGKey(key_seed + 1), pixels_j,
-            rot_j, org_j, camera, phase_cfg, steps_meas
+            rot_j, org_j, camera, phase_cfg, steps_meas, None, pool, pool_n
         )
         sync(losses)
         return time.perf_counter() - t0
@@ -195,14 +203,20 @@ def main():
     brot = jnp.broadcast_to(rot_j[None], (k,) + rot_j.shape)
     borg = jnp.broadcast_to(org_j[None], (k,) + org_j.shape)
     bnf = jnp.full((k,), n_frames, jnp.int32)
+    bpool = (
+        jnp.broadcast_to(pool[None], (k,) + pool.shape) if pool is not None else None
+    )
+    bpool_n = jnp.full((k,), pool_n, jnp.int32) if pool is not None else None
     steps_b = 200
     kp, ks, bl = _train_chunk_batched(
-        kp, ks, jax.random.PRNGKey(8), bpix, brot, borg, bnf, camera, cfg, steps_b
+        kp, ks, jax.random.PRNGKey(8), bpix, brot, borg, bnf, camera, cfg, steps_b,
+        bpool, bpool_n
     )
     sync(bl)  # warm
     t0 = time.perf_counter()
     kp, ks, bl = _train_chunk_batched(
-        kp, ks, jax.random.PRNGKey(9), bpix, brot, borg, bnf, camera, cfg, steps_b
+        kp, ks, jax.random.PRNGKey(9), bpix, brot, borg, bnf, camera, cfg, steps_b,
+        bpool, bpool_n
     )
     sync(bl)
     t_batch = time.perf_counter() - t0

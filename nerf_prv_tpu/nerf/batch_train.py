@@ -56,26 +56,37 @@ def stack_datasets(datasets: Sequence[RayDataset]):
     return pixels, rot, org, n_frames
 
 
-def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key):
+def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key, pool=None, pool_n=None):
     ks, km, kb, kf, ku, kv = jax.random.split(key, 6)
     n_rays = cfg.train_rays
-    oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
-    n_cand = n_rays * max(oversample, 1)
     h, w = pixels_u8.shape[1:3]
-    f = jax.random.randint(kf, (n_cand,), 0, n_frames)
-    ui = jax.random.randint(ku, (n_cand,), 0, w)
-    vi = jax.random.randint(kv, (n_cand,), 0, h)
-    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
-    if oversample > 1:
-        # hit-ray compaction (see train._sample_batch)
-        from .rays import ray_sphere
+    if pool is not None:
+        # precomputed hit-pixel pool (see train.build_hit_pool): uniform
+        # over sphere-hitting pixels with zero per-step partition cost
+        r = jax.random.randint(kf, (n_rays,), 0, jnp.maximum(pool_n, 1))
+        flat_idx = pool[r]
+        f = flat_idx // (h * w)
+        p = flat_idx % (h * w)
+        vi, ui = p // w, p % w
+        o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    else:
+        oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
+        n_cand = n_rays * max(oversample, 1)
+        f = jax.random.randint(kf, (n_cand,), 0, n_frames)
+        ui = jax.random.randint(ku, (n_cand,), 0, w)
+        vi = jax.random.randint(kv, (n_cand,), 0, h)
+        o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+        if oversample > 1:
+            # hit-ray compaction (see train._sample_batch)
+            from .rays import ray_sphere
 
-        _, _, valid = ray_sphere(o, d)
-        order = jnp.argsort(~valid)[:n_rays]
-        f, ui, vi = f[order], ui[order], vi[order]
-        o, d = o[order], d[order]
+            _, _, valid = ray_sphere(o, d)
+            order = jnp.argsort(~valid)[:n_rays]
+            f, ui, vi = f[order], ui[order], vi[order]
+            o, d = o[order], d[order]
+        flat_idx = (f * h + vi) * w + ui
     flat = pixels_u8.reshape(-1, 4)
-    rgba = flat[(f * h + vi) * w + ui].astype(jnp.float32) / 255.0
+    rgba = flat[flat_idx].astype(jnp.float32) / 255.0
     bg = jax.random.uniform(kb, (n_rays, 3))
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
     rgb, acc = render_rays(params, o, d, cfg, key=km)
@@ -93,12 +104,15 @@ def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key):
     donate_argnums=(0, 1),
 )
 def _train_chunk_batched(
-    params, opt_state, key, pixels_u8, rot, org, n_frames, camera, cfg, n_steps
+    params, opt_state, key, pixels_u8, rot, org, n_frames, camera, cfg, n_steps,
+    pools=None, pool_ns=None,
 ):
     opt = make_optimizer(cfg)
 
-    def one_object_step(p, s, px, r, o, nf, key):
-        loss, grads = jax.value_and_grad(_member_loss)(p, px, r, o, nf, camera, cfg, key)
+    def one_object_step(p, s, px, r, o, nf, key, pool=None, pool_n=None):
+        loss, grads = jax.value_and_grad(_member_loss)(
+            p, px, r, o, nf, camera, cfg, key, pool, pool_n
+        )
         updates, s = opt.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
@@ -106,7 +120,12 @@ def _train_chunk_batched(
         p, s = carry
         k = pixels_u8.shape[0]
         keys = jax.random.split(key, k)
-        p, s, loss = jax.vmap(one_object_step)(p, s, pixels_u8, rot, org, n_frames, keys)
+        if pools is not None:
+            p, s, loss = jax.vmap(one_object_step)(
+                p, s, pixels_u8, rot, org, n_frames, keys, pools, pool_ns
+            )
+        else:
+            p, s, loss = jax.vmap(one_object_step)(p, s, pixels_u8, rot, org, n_frames, keys)
         return (p, s), loss
 
     keys = jax.random.split(key, n_steps)
@@ -154,13 +173,26 @@ def train_batch(
         org = jnp.asarray(org)
         n_frames = jnp.asarray(n_frames)
 
+    pools = pool_ns = None
+    if cfg.bound == "sphere":
+        from .train import build_hit_pool
+
+        pools, pool_ns = jax.vmap(
+            lambda r, o, nf: build_hit_pool(r, o, camera, nf)
+        )(rot, org, n_frames)
+        if mesh is not None:
+            obj_sh = batch_sharding(mesh)
+            pools = jax.device_put(pools, obj_sh)
+            pool_ns = jax.device_put(pool_ns, obj_sh)
+
     all_losses = []
     steps_left = cfg.n_steps
     while steps_left > 0:
         n = min(chunk_steps, steps_left)
         key, kc = jax.random.split(key)
         params, opt_state, losses = _train_chunk_batched(
-            params, opt_state, kc, pixels, rot, org, n_frames, camera, cfg, n
+            params, opt_state, kc, pixels, rot, org, n_frames, camera, cfg, n,
+            pools, pool_ns
         )
         all_losses.append(np.asarray(losses))
         steps_left -= n

@@ -34,6 +34,64 @@ def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
     )
 
 
+@partial(jax.jit, static_argnames=("camera",))
+def build_hit_pool(rot, org, camera, n_frames=None):
+    """Precompute the sphere-hitting pixel set for a training scene.
+
+    The bounding-sphere hit set is static per scene (cameras are frozen
+    during training), so instead of oversampling 4x candidate pixels and
+    stable-partitioning per step (argsort over 16k candidates measured
+    ~0.85 ms of a 3.9 ms step — experiments/exp_train_anatomy2.py), compute
+    the hit set ONCE and sample uniformly from it every step.  The sampling
+    distribution is unchanged: the oversample path was itself uniform over
+    hit pixels.
+
+    Returns (pool, n_hit): ``pool`` is a flat (F*H*W,) int32 array whose
+    first ``n_hit`` entries are the flat indices (f*H*W + v*W + u) of
+    sphere-hitting pixels, in raster order.
+    """
+    from .rays import pixel_dirs_cam, ray_sphere
+
+    h, w = camera.height, camera.width
+    u, v = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32)
+    )
+    d_cam = pixel_dirs_cam(camera, u.reshape(-1), v.reshape(-1))  # (HW, 3)
+    d = jnp.einsum("fij,nj->fni", rot, d_cam)  # rot orthonormal: stays unit
+    _, _, valid = ray_sphere(org[:, None, :], d)
+    if n_frames is not None:
+        f_ids = jnp.arange(rot.shape[0], dtype=jnp.int32)
+        valid = valid & (f_ids[:, None] < n_frames)
+    valid_flat = valid.reshape(-1)
+    n = valid_flat.shape[0]
+    # iota-scatter partition (same trick as render._jit_partition_packed):
+    # a 14.7M-element argsort would cost ~100 ms, the cumsum+scatter ~20 ms
+    pos = jnp.cumsum(valid_flat.astype(jnp.int32)) - 1
+    n_hit = pos[-1] + 1
+    dest = jnp.where(valid_flat, pos, n)
+    pool = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    return pool, n_hit
+
+
+def _sample_batch_pooled(key, pixels_u8, rot, org, camera, n_rays, pool, n_hit):
+    """Draw a ray batch uniformly from the precomputed hit-pixel pool."""
+    kr, kb = jax.random.split(key)
+    n_f, h, w = pixels_u8.shape[:3]
+    r = jax.random.randint(kr, (n_rays,), 0, jnp.maximum(n_hit, 1))
+    flat_idx = pool[r]
+    f = flat_idx // (h * w)
+    p = flat_idx % (h * w)
+    vi, ui = p // w, p % w
+    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
+    rgba = flat[flat_idx].astype(jnp.float32) / 255.0
+    bg = jax.random.uniform(kb, (n_rays, 3))
+    target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+    return o, d, target, bg
+
+
 def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_frames=None):
     kf, ku, kv, kb = jax.random.split(key, 4)
     n_f, h, w = pixels_u8.shape[:3]
@@ -71,15 +129,20 @@ def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_fram
 
 
 @partial(jax.jit, static_argnames=("cfg", "camera", "n_steps"), donate_argnums=(0, 1))
-def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int, n_frames=None):
+def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int, n_frames=None, pool=None, pool_n=None):
     opt = make_optimizer(cfg)
 
     def loss_fn(p, key):
         ks, km = jax.random.split(key)
-        oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
-        o, d, target, bg = _sample_batch(
-            ks, pixels_u8, rot, org, camera, cfg.train_rays, oversample, n_frames
-        )
+        if pool is not None:
+            o, d, target, bg = _sample_batch_pooled(
+                ks, pixels_u8, rot, org, camera, cfg.train_rays, pool, pool_n
+            )
+        else:
+            oversample = cfg.train_hit_oversample if cfg.bound == "sphere" else 1
+            o, d, target, bg = _sample_batch(
+                ks, pixels_u8, rot, org, camera, cfg.train_rays, oversample, n_frames
+            )
         rgb, acc = render_rays(p, o, d, cfg, key=km)
         rgb = rgb + bg * (1.0 - acc[:, None])
         err = rgb - target
@@ -137,6 +200,9 @@ def train(
     rot = jnp.asarray(rot_np)
     org = jnp.asarray(org_np)
     n_frames = jnp.int32(n_real)
+    pool = pool_n = None
+    if cfg.bound == "sphere":
+        pool, pool_n = build_hit_pool(rot, org, dataset.camera, n_frames)
 
     # phase plan: with train_coarse on, geometry first forms during a flat
     # warmup march, then the probe-tightened march takes over (the probe
@@ -162,7 +228,7 @@ def train(
             key, kc = jax.random.split(key)
             params, opt_state, chunk_losses = train_chunk(
                 params, opt_state, kc, pixels_u8, rot, org, dataset.camera,
-                phase_cfg, n, n_frames
+                phase_cfg, n, n_frames, pool, pool_n
             )
             losses.append(np.asarray(chunk_losses))
             steps_left -= n

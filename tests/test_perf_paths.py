@@ -135,3 +135,61 @@ def test_ssim_bounded_on_noise():
     s_noise = float(ssim(a, jnp.clip(noise, 0, 1)))
     assert s_same <= 1.0 + 1e-6
     assert 0.0 < s_noise < s_same
+
+
+def test_hit_pool_matches_oversample_hit_set():
+    """build_hit_pool's pixel set == the set the oversample partition drew
+    from: exactly the sphere-hitting (frame, pixel) pairs, raster-ordered."""
+    from nerf_prv_tpu.nerf.rays import ray_sphere, rays_from_pixels
+    from nerf_prv_tpu.nerf.train import _sample_batch_pooled, build_hit_pool
+
+    rng = np.random.default_rng(5)
+    h = w = 24
+    n_f = 3
+    views = rng.normal(size=(n_f, 3))
+    views[:, 2] = np.abs(views[:, 2])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+    c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=12.0, ppy=12.0)
+
+    pool, n_hit = build_hit_pool(rot, org, cam)
+    n_hit = int(n_hit)
+
+    # brute-force reference hit set
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    expect = []
+    for f in range(n_f):
+        fi = jnp.full((h * w,), f, jnp.int32)
+        o, d = rays_from_pixels(rot, org, cam, fi, jnp.asarray(uu.ravel()), jnp.asarray(vv.ravel()))
+        valid = np.asarray(ray_sphere(o, d)[2])
+        expect.extend(f * h * w + np.nonzero(valid)[0])
+    assert n_hit == len(expect)
+    assert np.array_equal(np.asarray(pool[:n_hit]), np.asarray(expect, np.int32))
+
+    # pooled samples are all hits and carry the right pixel targets
+    pixels = jnp.asarray(rng.integers(0, 255, (n_f, h, w, 4)), jnp.uint8)
+    o, d, target, bg = _sample_batch_pooled(
+        jax.random.PRNGKey(0), pixels, rot, org, cam, 64, pool, jnp.int32(n_hit)
+    )
+    assert bool(ray_sphere(o, d)[2].all())
+
+
+def test_hit_pool_masks_padded_frames():
+    from nerf_prv_tpu.nerf.train import build_hit_pool
+
+    rng = np.random.default_rng(6)
+    h = w = 16
+    views = rng.normal(size=(4, 3))
+    views[:, 2] = np.abs(views[:, 2])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+    c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=8.0, ppy=8.0)
+
+    pool_all, n_all = build_hit_pool(rot, org, cam)
+    pool_2, n_2 = build_hit_pool(rot, org, cam, jnp.int32(2))
+    assert int(n_2) < int(n_all)
+    assert int(jnp.max(pool_2[: int(n_2)])) < 2 * h * w
