@@ -29,7 +29,7 @@ def main():
 
     from nerf_prv_tpu.core.config import CameraConfig
     from nerf_prv_tpu.nerf import NerfConfig, init_params
-    from nerf_prv_tpu.nerf.model import render_rays
+    from nerf_prv_tpu.nerf.render import render_rays
     from nerf_prv_tpu.nerf.rays import load_dataset
     from nerf_prv_tpu.nerf.train import (
         _sample_batch_pooled,

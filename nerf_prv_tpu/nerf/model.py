@@ -30,17 +30,28 @@ class NerfConfig:
     # gradient-carrying samples per train ray, marched inside the
     # probe-tightened interval (train_coarse below); the short warmup
     # phase uses train_warmup_samples over the full chord instead.
-    # 24 samples with 8 probes measured >= the old 32/16 on BOTH quality
-    # scenes across two seeds (splat 35.46/35.35 vs 35.38/35.09, thin
-    # 35.44/35.30 vs 35.37/35.41 — experiments/exp_train24.py + seed-1
-    # confirm) at 3.80 vs 4.84 ms/step; 24 samples with 16 probes lost
-    # 0.20 dB (over-tightened intervals starve the sparser march)
-    n_samples: int = 24
+    # 16 samples with 12 probes measured the BEST quality of the
+    # {24/8, 20/8, 16/8, 16/12} sweep on BOTH quality scenes across two
+    # seeds (splat 35.31/35.25 thin 35.35/35.43, vs 24/8's 35.14/35.17 and
+    # 34.90/35.52 — experiments/exp_train16.py) at 2.81 vs 3.51 ms/step:
+    # every remaining step cost is row-count-bound (gathers ~250 M rows/s,
+    # the grad scatter ~9 ns/row + fixed — exp_scatter_drop), so fewer
+    # samples cut fwd, bwd and scatter together.  The earlier 24/16 loss
+    # (-0.20 dB, exp_train24) was the probe/sample RATIO over-tightening,
+    # not probe count: 12 probes with 16 samples keep the clamped interval
+    # sampled densely enough.
+    n_samples: int = 16
     # hierarchical sampling (training only): when > 0, n_samples become a
     # density-only coarse pass and n_importance full-field samples are drawn
-    # from its CDF; deterministic renders use a flat render_n_samples march
+    # from its CDF; deterministic renders use a flat render_n_samples march.
     n_importance: int = 0
-    render_n_samples: int = 24
+    # 16 wide-row fine samples with 20 fine probes beat the old 24/24 on
+    # every (scene, seed) of the render sweep (splat 35.43/35.38 vs
+    # 35.31/35.25, thin 35.40/35.51 vs 35.35/35.43 —
+    # experiments/exp_render20.py, evaluated on identical trained fields so
+    # deltas are exact) while marching a third fewer wide rows; rp16/rs16
+    # was faster still but lost 0.15 dB on thin seed 0 and was rejected
+    render_n_samples: int = 16
     # deterministic-render interval tightening: when > 0, probe density at
     # this many midpoints first and march render_n_samples inside the
     # occupied [t_lo, t_hi] interval only (render.py render_rays).
@@ -56,14 +67,15 @@ class NerfConfig:
     # range, then render_probe_fine samples of trilinear corner-sigma
     # (16-byte row gathers) tighten and saturation-clamp it
     render_probe_coarse: int = 8
-    # 24 fine probes over 2-cell pooled blocks: on thin geometry
-    # (1-2-cell rods/disks, experiments/exp_thin_geometry.py) 16 probes
-    # over 4-cell blocks measured -0.31 dB vs a flat-96 no-probe
+    # 20 fine probes over 2-cell pooled blocks, paired with the 16-sample
+    # fine march (exp_render20.py — see render_n_samples above).  History:
+    # on thin geometry (1-2-cell rods/disks, exp_thin_geometry.py) 16
+    # probes over 4-cell blocks measured -0.31 dB vs a flat-96 no-probe
     # reference; 2-cell level-1 blocks shorten the level-2 interval
     # enough that 24 probes recover to -0.07 (32: -0.05).  The blob scene
     # hid this — the probe interval, not train tightening, was the
     # quality knob (train_coarse=32 / n_samples=48 measured no gain)
-    render_probe_fine: int = 24
+    render_probe_fine: int = 20
     # span-bucketed fine march (the TPU answer to CUDA's per-ray variable
     # step counts): partition level-2 survivors by tightened-interval
     # length and march rays whose span fits render_short_samples at the
@@ -79,11 +91,12 @@ class NerfConfig:
     # full-chord fallback for rays with no occupied probe).  Combined with
     # a short flat warmup while geometry forms, this keeps flat-96 quality
     # at a quarter of the gradient samples (the backward scatter-add is the
-    # dominant step cost).  With 24 gradient samples, 8 probes beat 16 on
-    # both quality scenes (exp_train24.py: 16 probes over-tighten and the
-    # sparser march under-samples the clamped interval); smaller train
-    # batches (2048/3072 rays) measured -0.1..-0.2 dB and were rejected
-    train_coarse: int = 8
+    # dominant step cost).  12 probes pair with the 16-sample march
+    # (exp_train16.py — see n_samples above); with 24 samples, 8 probes
+    # beat 16 (exp_train24.py: over-tightening starves a sparse march, the
+    # probe/sample ratio is what matters); smaller train batches
+    # (2048/3072 rays) measured -0.1..-0.2 dB and were rejected
+    train_coarse: int = 12
     # warmup sweep on v5e (experiments/exp_warmup.py): 500x96 35.20 dB,
     # 250x48 35.22, 125x48 35.35, none 35.26 — the probe-tightened march
     # "peels" initial fog by itself, so warmup is insurance for thin
