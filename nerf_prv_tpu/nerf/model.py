@@ -97,6 +97,19 @@ class NerfConfig:
     # probe/sample ratio is what matters); smaller train batches
     # (2048/3072 rays) measured -0.1..-0.2 dB and were rejected
     train_coarse: int = 12
+    # rebake the train probe's corner-sigma table every this many steps
+    # inside the train scan and probe against IT (one 16-byte row gather
+    # per probe sample, render._tighten_interval_baked) instead of
+    # evaluating the full field MLP at every probe midpoint; 0 = live-MLP
+    # probe.  MEASURED REJECTION on v5e at g=40 (experiments/
+    # exp_baked_probe.py): 2.60 ms/step live vs 2.96/2.99/3.09/3.16 at
+    # refresh 32/16/8/4 — probe cost is gather ROW-count-bound, not
+    # byte-bound, and the tiny density MLP rides the MXU for free, so the
+    # 16-byte rows save nothing while the per-step rebake cond adds
+    # overhead; quality also drops 0.16-0.30 dB from probe staleness.
+    # Kept as a flag for larger grids/fields where the wide-row gather
+    # bytes would dominate; default OFF.
+    train_probe_refresh: int = 0
     # warmup sweep on v5e (experiments/exp_warmup.py): 500x96 35.20 dB,
     # 250x48 35.22, 125x48 35.35, none 35.26 — the probe-tightened march
     # "peels" initial fog by itself, so warmup is insurance for thin

@@ -178,6 +178,11 @@ def _tighten_interval(params, origins, dirs, tmin, tmax, valid, nc, cfg):
     sigma_c = jax.lax.stop_gradient(
         _coarse_density(params, pos_c, cfg)
     ) * valid[:, None]
+    return _clamp_occupied(sigma_c, tmin, span_c, nc)
+
+
+def _clamp_occupied(sigma_c, tmin, span_c, nc):
+    """Saturation-aware occupied-interval clamp from probe sigmas (N, nc)."""
     alpha_c = 1.0 - jnp.exp(-sigma_c * (span_c[:, None] / nc))
     occ = alpha_c > 1e-3
     any_occ = jnp.any(occ, axis=-1)
@@ -191,6 +196,30 @@ def _tighten_interval(params, origins, dirs, tmin, tmax, valid, nc, cfg):
     lo = jnp.maximum(first - 1, 0).astype(jnp.float32) / nc
     hi = jnp.minimum(last + 2, nc).astype(jnp.float32) / nc
     return tmin + lo * span_c, tmin + hi * span_c, any_occ
+
+
+def _tighten_interval_baked(cell_raw, origins, dirs, tmin, tmax, valid, nc, cfg):
+    """Train-time probe against a periodically-rebaked corner-sigma table.
+
+    Identical clamp logic to ``_tighten_interval`` but sigma comes from
+    trilinear interpolation of the baked (g^3, 8) raw table (ONE 16-byte
+    row gather per probe sample, ``_cell_sigma_at``) instead of a full
+    field-MLP evaluation — the same approximation the validated level-2
+    render probe uses.  The table is rebaked every
+    ``cfg.train_probe_refresh`` steps inside the train scan (train.py), so
+    it lags the live field by at most that many steps; rays whose stale
+    probes all read empty fall back to the full chord (render_rays), which
+    bounds the cost of staleness to a few steps of delayed tightening.
+    """
+    g = cfg.voxel_grid_size
+    base_c = (jnp.arange(nc, dtype=jnp.float32)[None, :] + 0.5) / nc
+    span_c = tmax - tmin
+    ts_c = tmin[:, None] + base_c * span_c[:, None]
+    pos_c = jnp.clip(
+        origins[:, None, :] + dirs[:, None, :] * ts_c[..., None], 0.0, 1.0 - 1e-6
+    )
+    sigma_c = _cell_sigma_at(cell_raw, pos_c, g) * valid[:, None]
+    return _clamp_occupied(sigma_c, tmin, span_c, nc)
 
 
 def _probe_level1(aux: RenderAux, origins, dirs, tmin, tmax, valid, cfg):
@@ -307,6 +336,7 @@ def render_rays(
     cfg: NerfConfig,
     key: Optional[jax.Array] = None,
     aux: Optional[RenderAux] = None,
+    probe_raw: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March rays through the bounded volume; returns (rgb (N,3), alpha (N,)).
 
@@ -362,10 +392,16 @@ def render_rays(
         # occupied probes vanished fall back to the full chord so density
         # can (re)grow anywhere — the probe threshold also guarantees any
         # floater that reaches visible alpha re-enters some ray's interval
-        # and receives suppressing gradient.
-        t_lo, t_hi, any_occ = _tighten_interval(
-            params, origins, dirs, tmin, tmax, valid, cfg.train_coarse, cfg
-        )
+        # and receives suppressing gradient (with probe_raw, delayed by at
+        # most cfg.train_probe_refresh steps until the next table bake).
+        if probe_raw is not None:
+            t_lo, t_hi, any_occ = _tighten_interval_baked(
+                probe_raw, origins, dirs, tmin, tmax, valid, cfg.train_coarse, cfg
+            )
+        else:
+            t_lo, t_hi, any_occ = _tighten_interval(
+                params, origins, dirs, tmin, tmax, valid, cfg.train_coarse, cfg
+            )
         tmin = jnp.where(any_occ, t_lo, tmin)
         tmax = jnp.where(any_occ, t_hi, tmax)
 

@@ -131,8 +131,20 @@ def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_fram
 @partial(jax.jit, static_argnames=("cfg", "camera", "n_steps"), donate_argnums=(0, 1))
 def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int, n_frames=None, pool=None, pool_n=None):
     opt = make_optimizer(cfg)
+    # baked train probe (cfg.train_probe_refresh): carry a corner-sigma
+    # table through the scan, rebake it every `refresh` steps from the live
+    # grid, and probe the march interval against the table (one 16-byte
+    # gather/sample) instead of running the field MLP per probe midpoint
+    use_baked = (
+        cfg.train_coarse > 0
+        and cfg.train_probe_refresh > 0
+        and cfg.field_impl == "voxel"
+        and cfg.bound == "sphere"
+    )
+    if use_baked:
+        from .voxelfield import lattice_corner_raw
 
-    def loss_fn(p, key):
+    def loss_fn(p, key, probe_raw):
         ks, km = jax.random.split(key)
         if pool is not None:
             o, d, target, bg = _sample_batch_pooled(
@@ -143,7 +155,7 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
             o, d, target, bg = _sample_batch(
                 ks, pixels_u8, rot, org, camera, cfg.train_rays, oversample, n_frames
             )
-        rgb, acc = render_rays(p, o, d, cfg, key=km)
+        rgb, acc = render_rays(p, o, d, cfg, key=km, probe_raw=probe_raw)
         rgb = rgb + bg * (1.0 - acc[:, None])
         err = rgb - target
         delta = cfg.huber_delta
@@ -153,15 +165,31 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
         )
         return jnp.mean(huber)
 
-    def step(carry, key):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, key)
+    def step(carry, inp):
+        p, s, praw = carry
+        key, i = inp
+        if use_baked:
+            praw = jax.lax.cond(
+                i % cfg.train_probe_refresh == 0,
+                lambda: lattice_corner_raw(p, cfg).astype(jnp.bfloat16),
+                lambda: praw,
+            )
+        loss, grads = jax.value_and_grad(loss_fn)(p, key, praw)
         updates, s = opt.update(grads, s, p)
         p = optax.apply_updates(p, updates)
-        return (p, s), loss
+        return (p, s, praw), loss
 
+    if use_baked:
+        g = cfg.voxel_grid_size
+        # zeros = "all empty" -> step 0 (i % refresh == 0) rebakes before use
+        praw0 = jnp.zeros((g * g * g, 8), jnp.bfloat16)
+    else:
+        praw0 = None
     keys = jax.random.split(key, n_steps)
-    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+    steps = jnp.arange(n_steps, dtype=jnp.int32)
+    (params, opt_state, _), losses = jax.lax.scan(
+        step, (params, opt_state, praw0), (keys, steps)
+    )
     return params, opt_state, losses
 
 
