@@ -119,14 +119,18 @@ def corner_weights(frac: jnp.ndarray) -> jnp.ndarray:
 def blend_rows(rows: jnp.ndarray, frac: jnp.ndarray, f: int) -> jnp.ndarray:
     """Blend gathered corner-block rows (N, 8*F) -> features (N, F).
 
-    Eight flat (N, F) slice-accumulates: tiny (2,2,2) minor axes would tile
-    onto the (8, 128) registers with heavy padding.
+    One (N, 8, F) broadcast-multiply + corner-axis sum: bit-identical to
+    the eight flat (N, F) slice-accumulates it replaced and 1.56x faster
+    as an isolated op at production march shapes (2.1 M samples: 1.79 vs
+    2.80 ms fwd — experiments/exp_blend_wide.py; a fully flat (N, 64)
+    wide-fold variant measured SLOWER, the w @ E expansion and fold
+    relayouts cost more than the saved lanes).  IN SITU the train step
+    and render rates are unchanged (2.77 ms / 25.2 M rays/s) — XLA fuses
+    the blend into the gather consumer either way — so this form is kept
+    for being the simpler one, not as a speedup.
     """
     w = corner_weights(frac)
-    out = jnp.zeros((rows.shape[0], f), rows.dtype)
-    for c in range(8):
-        out = out + rows[:, c * f : (c + 1) * f] * w[:, c : c + 1]
-    return out
+    return (w[:, :, None] * rows.reshape(-1, 8, f)).sum(axis=1)
 
 
 def density_mlp(params, feats: jnp.ndarray, x: jnp.ndarray, cfg) -> jnp.ndarray:
