@@ -27,11 +27,14 @@ from .train import train
 
 
 def train_nerf(
-    scene_json: str, cfg: Optional[NerfConfig] = None, seed: int = 0
+    scene_json: str,
+    cfg: Optional[NerfConfig] = None,
+    seed: int = 0,
+    init_from: Optional[dict] = None,
 ) -> Tuple[dict, RayDataset]:
     cfg = cfg or NerfConfig()
     dataset = load_dataset(scene_json, with_images=True)
-    params, _ = train(dataset, cfg, seed=seed)
+    params, _ = train(dataset, cfg, seed=seed, init_from=init_from)
     return params, dataset
 
 

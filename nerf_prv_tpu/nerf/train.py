@@ -198,14 +198,25 @@ def train(
     cfg: Optional[NerfConfig] = None,
     seed: int = 0,
     chunk_steps: int = 500,
+    init_from: Optional[dict] = None,
 ) -> Tuple[dict, np.ndarray]:
-    """Train a NeRF on a loaded dataset; returns (params, per-step losses)."""
+    """Train a NeRF on a loaded dataset; returns (params, per-step losses).
+
+    ``init_from`` warm-starts from previously trained parameters (the
+    label sweep's next view count, a loaded snapshot) instead of a fresh
+    init; the flat warmup phase is skipped since geometry already exists.
+    The tree is copied on entry — train_chunk donates its params/opt
+    buffers, so the caller's copy stays valid.
+    """
     cfg = cfg or NerfConfig()
     if cfg.n_steps <= chunk_steps:
         chunk_steps = cfg.n_steps  # single compile for short runs
     key = jax.random.PRNGKey(seed)
     key, kinit = jax.random.split(key)
-    params = init_params(kinit, cfg)
+    if init_from is not None:
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), init_from)
+    else:
+        params = init_params(kinit, cfg)
     opt_state = make_optimizer(cfg).init(params)
 
     pixels_np = np.clip(
@@ -238,7 +249,7 @@ def train(
     import dataclasses
 
     phases = []
-    if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0:
+    if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0 and init_from is None:
         warm = dataclasses.replace(
             cfg, train_coarse=0, n_samples=cfg.train_warmup_samples
         )

@@ -29,6 +29,14 @@ def parse_args(argv: Optional[List[str]] = None):
         "--sizes", type=int, nargs="*", default=None,
         help="view-space sizes for modes 0/20 (default 3..100)",
     )
+    p.add_argument(
+        "--warm-start-steps", type=int, default=0,
+        help="mode 4: warm-start each view count from the previous one and "
+        "train this many steps instead of n_steps (0 = reference-parity "
+        "from-scratch retrains; measured 1.27-1.44x with a 2-3 view "
+        "label shift — unsafe for label generation; see "
+        "experiments/exp_warmstart.py)",
+    )
     p.add_argument("--interactive", action="store_true", help="reference-style stdin")
     return p.parse_args(argv)
 
@@ -83,7 +91,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     elif mode == 3:
         modes.mode_get_coverage(cfg, names)
     elif mode == 4:
-        modes.mode_instant_ngp(cfg, names)
+        modes.mode_instant_ngp(cfg, names, warm_start_steps=args.warm_start_steps)
     elif mode == 5:
         modes.mode_fit_labels(cfg, names)
         modes.mode_read_label(cfg, names)

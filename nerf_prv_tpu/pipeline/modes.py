@@ -101,6 +101,7 @@ def mode_instant_ngp(
     names: Sequence[str],
     nerf_cfg: Optional[NerfConfig] = None,
     batch_size: int = 1,
+    warm_start_steps: int = 0,
 ) -> None:
     """Mode 4 (≙ main.cpp:2463-2489): per-view-count NeRF train + eval vs the
     100-view set, writing ``<v>.txt`` metric files (idempotent).
@@ -111,6 +112,20 @@ def mode_instant_ngp(
     vmapped grid gather/scatter lowering makes K>1 run 1.3-1.5x slower
     per object than serial (measured, experiments/exp_batched_train.py +
     PERF.md) — the per-chip default ``batch_size=1`` is already optimal.
+
+    ``warm_start_steps > 0`` is an EXTENSION beyond the reference (which
+    retrains every view count from scratch over file IPC): each count in
+    an object's ascending sweep initializes from the previous count's
+    trained field and trains only that many steps (the first count, and
+    any count whose predecessor was skipped by the resume guard, still
+    trains the full ``n_steps`` from scratch).  Measured on the chip
+    (experiments/exp_warmstart.py, full 3..49+100 sweep): only
+    1.27-1.44x faster end-to-end (coverage rendering and eval dominate
+    the sweep, not training), and the fitted gradient@0.02 label shifts
+    by 2-3 views — warm800 even breaks the lognormal fit's convergence
+    (its PSNR curve plateaus differently than from-scratch curves).
+    Default OFF; do NOT use for label generation (mode 5/6 inputs) —
+    it is only safe for quick qualitative sweeps.
     """
     from ..nerf.api import eval_nerf, save_metrics
     from ..scene.object_setup import load_object
@@ -119,18 +134,18 @@ def mode_instant_ngp(
     from ..nerf.rays import load_dataset
 
     nerf_cfg = nerf_cfg or NerfConfig(n_steps=cfg.n_steps)
-    jobs = []  # (train_json, test_json, metrics_file)
+    per_object = []  # (name, [(train_json, test_json, metrics_file), ...])
     for name in names:
         obj_cfg = cfg.replace(name_of_pcd=name)
         scene = load_object(obj_cfg, name)
         if not scene.ok:
             continue
         test_json = get_coverage(scene, obj_cfg, 100)
+        counts = []  # ascending: _coverage_counts order
         for n in _coverage_counts(obj_cfg):
             metrics_file = os.path.join(obj_cfg.gt_path, f"{n}.txt")
-            if os.path.exists(metrics_file):
-                continue
-            jobs.append((get_coverage(scene, obj_cfg, n), test_json, metrics_file))
+            counts.append((get_coverage(scene, obj_cfg, n), test_json, metrics_file))
+        per_object.append((name, counts))
 
     # decode each 100-view test set once per object, not once per count
     test_cache: Dict[str, object] = {}
@@ -142,13 +157,36 @@ def mode_instant_ngp(
         return test_cache[path]
 
     if batch_size <= 1:
+        import dataclasses
+
         from ..nerf.api import train_nerf
 
-        for train_json, test_json, metrics_file in jobs:
-            params, _ = train_nerf(train_json, nerf_cfg)
-            metrics = eval_nerf(params, test_ds(test_json), nerf_cfg)
-            save_metrics(metrics_file, metrics)
+        warm_cfg = (
+            dataclasses.replace(nerf_cfg, n_steps=warm_start_steps)
+            if warm_start_steps > 0
+            else None
+        )
+        for _, counts in per_object:
+            prev = None
+            for train_json, test_json, metrics_file in counts:
+                if os.path.exists(metrics_file):
+                    prev = None  # resume guard breaks the warm chain
+                    continue
+                if warm_cfg is not None and prev is not None:
+                    params, _ = train_nerf(train_json, warm_cfg, init_from=prev)
+                else:
+                    params, _ = train_nerf(train_json, nerf_cfg)
+                metrics = eval_nerf(params, test_ds(test_json), nerf_cfg)
+                save_metrics(metrics_file, metrics)
+                prev = params if warm_cfg is not None else None
         return
+
+    jobs = [
+        job
+        for _, counts in per_object
+        for job in counts
+        if not os.path.exists(job[2])
+    ]
 
     from ..nerf.batch_train import slice_params, train_batch
 

@@ -349,3 +349,31 @@ def test_speculative_render_exact_spec_fallback():
     _SPEC_COUNTS.clear()
     b2 = render_views(params2, org, rot, cam, cfg, chunk=4096, aux=aux2)
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_train_warm_start(tmp_path):
+    """train(init_from=...) continues from given params (mode 4's
+    warm-started label sweep, modes.mode_instant_ngp warm_start_steps):
+    the caller's tree must survive train_chunk's buffer donation, the
+    flat warmup phase is skipped, and training actually moves the
+    field from its initialization."""
+    train_json, test_json, _, _ = write_scene(
+        str(tmp_path), n_train=4, n_test=2, n_points=3000
+    )
+    cfg = dataclasses.replace(TINY, n_steps=40, train_coarse=8,
+                              train_warmup_steps=20)
+    params0, _ = train_nerf(train_json, cfg, seed=0)
+    saved = {k: np.asarray(v).copy() for k, v in params0.items()}
+
+    warm_cfg = dataclasses.replace(cfg, n_steps=30)
+    params1, _ = train_nerf(train_json, warm_cfg, seed=1, init_from=params0)
+    # donation safety: the caller's tree is untouched
+    for k in saved:
+        np.testing.assert_array_equal(saved[k], np.asarray(params0[k]))
+    # and the warm run trained (params moved off the init)
+    moved = sum(
+        float(np.abs(np.asarray(params1[k]) - saved[k]).max()) for k in saved
+    )
+    assert moved > 0.0
+    metrics = eval_nerf(params1, test_json, cfg)
+    assert np.isfinite(metrics["PSNR"])
