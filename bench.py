@@ -156,16 +156,36 @@ def main():
     for _ in range(2):
         imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg, aux=aux)
         sync(imgs[..., 3])
-    # best-of-3: single-shot timing through the axon tunnel measured
-    # 17.8-21.7 M rays/s run-to-run on identical code (tunnel jitter and
-    # one-off speculative fallbacks); the production eval loop renders
-    # hundreds of groups, so steady-state best is the honest rate
-    t_render = 1e9
-    for _ in range(3):
+    # the production eval loop (api.eval_nerf) runs groups PIPELINED with
+    # deferred speculation verification — each group dispatches before the
+    # previous one's counts readback — so measure that: n_groups
+    # back-to-back deferred renders, one sync at the end (device programs
+    # execute in enqueue order, so the last group's alpha readback bounds
+    # them all).  Best-of-3: single-shot timing through the axon tunnel
+    # jitters 17.8-21.7 M rays/s on identical code.  8 groups ~ the
+    # production eval's 12.5 (100 frames / 8), so the pipeline-fill cost
+    # is amortized the way the real loop amortizes it.
+    n_groups = 8
+
+    def render_pipelined():
         t0 = time.perf_counter()
-        imgs = render_views(params, org_j[:n_render], rot_j[:n_render], camera, cfg, aux=aux)
+        pending = None
+        for _ in range(n_groups):
+            imgs, finish = render_views(
+                params, org_j[:n_render], rot_j[:n_render], camera, cfg,
+                aux=aux, defer=True,
+            )
+            if pending is not None:
+                redo = pending[1]()
+                assert redo is None, "bench render under-speculated"
+            pending = (imgs, finish)
+        redo = pending[1]()
+        imgs = pending[0] if redo is None else redo
         sync(imgs[..., 3])
-        t_render = min(t_render, time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    render_pipelined()  # warm: compiles any deferred-path shapes
+    t_render = min(render_pipelined() for _ in range(3)) / n_groups
     render_rate = n_render * h * w / t_render  # rays/s
 
     # ---- quality gate: the protocol eval on the held-out test views --------

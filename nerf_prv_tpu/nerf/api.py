@@ -112,22 +112,39 @@ def eval_nerf(
     aux = build_render_aux(params, cfg)  # once per eval, not per group
     psnrs, ssims, mses = [], [], []
     group = 8  # frames rendered + scored per batched dispatch
+
+    def _resolve(p, s, m, finish, gt_rgb):
+        redo = finish()  # verify the group's speculative chunk bounds
+        if redo is not None:  # under-speculated: re-derive from the redo
+            p, s, m = _eval_batch(redo[..., :3], gt_rgb)
+        psnrs.append(np.asarray(p))
+        ssims.append(np.asarray(s))
+        mses.append(np.asarray(m))
+
+    # groups run PIPELINED: each group's render + metrics are dispatched
+    # before the previous group's speculation is verified, so the ~72 ms
+    # per-group verification readback + dispatch gap (axon tunnel,
+    # experiments/exp_render_anatomy4.py) hides under live device work
+    pending = None
     for start in range(0, ds.n_frames, group):
         stop = min(start + group, ds.n_frames)
-        imgs = render_views(
+        imgs, finish = render_views(
             params,
             jnp.asarray(ds.origins[start:stop]),
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
             aux=aux,
+            defer=True,
         )
         gt = ds.pixels[start:stop]
         gt_rgb = jnp.asarray(gt[..., :3] * gt[..., 3:4])
         p, s, m = _eval_batch(imgs[..., :3], gt_rgb)
-        psnrs.append(np.asarray(p))
-        ssims.append(np.asarray(s))
-        mses.append(np.asarray(m))
+        if pending is not None:
+            _resolve(*pending)
+        pending = (p, s, m, finish, gt_rgb)
+    if pending is not None:
+        _resolve(*pending)
     psnr = np.concatenate(psnrs)
     ssim = np.concatenate(ssims)
     mse = np.concatenate(mses)
@@ -182,24 +199,38 @@ def screenshot_nerf(
 
     aux = build_render_aux(params, cfg)  # once per screenshot set
     group = 16
+
+    def _flush(u8, finish, start, stop):
+        redo = finish()
+        if redo is not None:  # under-speculated group: re-derive
+            u8 = jnp.clip(jnp.round(redo * 255.0), 0, 255).astype(jnp.uint8)
+        rgba_all = np.asarray(u8)
+        for i in range(stop - start):
+            name = os.path.basename(tf.file_paths[start + i])
+            if not os.path.splitext(name)[1]:
+                name += ".png"
+            Image.fromarray(rgba_all[i], "RGBA").save(os.path.join(out_dir, name))
+
+    # pipelined like eval_nerf: group i's PNG encode + full-frame readback
+    # overlap group i+1's device render
+    pending = None
     for start in range(0, ds.n_frames, group):
         stop = min(start + group, ds.n_frames)
-        imgs = render_views(
+        imgs, finish = render_views(
             params,
             jnp.asarray(ds.origins[start:stop]),
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
             aux=aux,
+            defer=True,
         )
-        rgba_all = np.asarray(
-            jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.uint8)
-        )
-        for i in range(stop - start):
-            name = os.path.basename(tf.file_paths[start + i])
-            if not os.path.splitext(name)[1]:
-                name += ".png"
-            Image.fromarray(rgba_all[i], "RGBA").save(os.path.join(out_dir, name))
+        u8 = jnp.clip(jnp.round(imgs * 255.0), 0, 255).astype(jnp.uint8)
+        if pending is not None:
+            _flush(*pending)
+        pending = (u8, finish, start, stop)
+    if pending is not None:
+        _flush(*pending)
 
 
 def run(

@@ -102,22 +102,39 @@ def render_video(
     aux = build_render_aux(params, cfg)  # once per video, not per group
     group = 8
     count = 0
+
+    def _flush(u8, finish, start, stop):
+        nonlocal count
+        redo = finish()
+        if redo is not None:
+            u8 = jnp.clip(jnp.round(redo[..., :3] * 255), 0, 255).astype(jnp.uint8)
+        arr = np.asarray(u8)
+        for i in range(stop - start):
+            Image.fromarray(arr[i], "RGB").save(
+                os.path.join(frames_dir, f"frame_{start + i:04d}.png")
+            )
+            count += 1
+
+    # pipelined like api.eval_nerf: frame encoding overlaps the next
+    # group's device render (render_views defer contract)
+    pending = None
     for start in range(0, ds.n_frames, group):
         stop = min(start + group, ds.n_frames)
-        imgs = render_views(
+        imgs, finish = render_views(
             params,
             jnp.asarray(ds.origins[start:stop]),
             jnp.asarray(ds.rotations[start:stop]),
             ds.camera,
             cfg,
             aux=aux,
+            defer=True,
         )
-        arr = np.asarray(jnp.clip(jnp.round(imgs[..., :3] * 255), 0, 255).astype(jnp.uint8))
-        for i in range(stop - start):
-            Image.fromarray(arr[i], "RGB").save(
-                os.path.join(frames_dir, f"frame_{start + i:04d}.png")
-            )
-            count += 1
+        u8 = jnp.clip(jnp.round(imgs[..., :3] * 255), 0, 255).astype(jnp.uint8)
+        if pending is not None:
+            _flush(*pending)
+        pending = (u8, finish, start, stop)
+    if pending is not None:
+        _flush(*pending)
     try:
         subprocess.run(
             [

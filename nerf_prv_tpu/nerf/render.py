@@ -475,12 +475,23 @@ def render_views(
     cfg: NerfConfig,
     chunk: Optional[int] = None,
     aux: Optional[RenderAux] = None,
+    defer: bool = False,
 ):
     """Batched multi-frame render -> (F, H, W, 4).
 
     All frames' rays are flattened into one stream and chunked through a
     single jitted program — one dispatch per chunk, not per frame, which
     matters when dispatch latency is high (remote TPU tunnels).
+
+    ``defer=True`` returns ``(rgba, finish)`` instead: the render is
+    dispatched but its speculative chunk bounds are NOT yet verified.
+    The caller should dispatch its next group (or any derived compute —
+    eval metrics, scoring) and only then call ``finish()``, which
+    returns None when the speculative output was valid, or a corrected
+    rgba array the caller must re-derive from (rare; see
+    ``_render_tiles_two_phase``).  Pipelining groups this way hides the
+    per-group verification readback + dispatch gap (~72 ms through the
+    axon tunnel) under the next group's device work.
     """
     chunk = chunk or _default_chunk(cfg)
     n_frames = origins.shape[0]
@@ -514,10 +525,14 @@ def render_views(
             jnp.asarray(origins), jnp.asarray(rotations), d_cam, t, npad
         )
         ct = max(chunk // t, 1)
+        finish_t = _finish_noop
         if aux is not None and cfg.render_coarse > 0:
             out = _render_tiles_two_phase(
-                params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk
+                params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk,
+                defer=defer,
             )
+            if defer:
+                out, finish_t = out
         else:
             n_act = int(n_act_dev)
             stop_t = min(
@@ -540,6 +555,29 @@ def render_views(
                 out = jnp.zeros((n_tiles, 4 * t))
         rgba = out.reshape(n_p, 4)[:n]
         rgb, a = rgba[:, :3], rgba[:, 3]
+        if defer:
+            final = jnp.concatenate(
+                [
+                    rgb.reshape(n_frames, h, w, 3),
+                    a.reshape(n_frames, h, w)[..., None],
+                ],
+                axis=-1,
+            )
+
+            def finish(_f=finish_t):
+                redo = _f()
+                if redo is None:
+                    return None
+                rgba2 = redo.reshape(n_p, 4)[:n]
+                return jnp.concatenate(
+                    [
+                        rgba2[:, :3].reshape(n_frames, h, w, 3),
+                        rgba2[:, 3].reshape(n_frames, h, w)[..., None],
+                    ],
+                    axis=-1,
+                )
+
+            return final, finish
     elif cfg.bound == "sphere":
         # per-ray compaction: one fused (N, 6) permutation gather + a
         # gather-based un-permute (scatters run ~60M rows/s on v5e where
@@ -578,7 +616,10 @@ def render_views(
         a = jnp.concatenate(outs_a)[:n]
     rgb = rgb.reshape(n_frames, h, w, 3)
     a = a.reshape(n_frames, h, w)
-    return jnp.concatenate([rgb, a[..., None]], axis=-1)
+    rgba = jnp.concatenate([rgb, a[..., None]], axis=-1)
+    # per-ray / aux-less / cube-bound paths verify inline (they sync on
+    # their hit counts anyway) — the deferred contract is a no-op there
+    return (rgba, _finish_noop) if defer else rgba
 
 
 _RENDER_TILE = 128  # rays per compaction tile (render_views sphere path)
@@ -717,13 +758,18 @@ def _jit_render(params, origins, dirs, cfg, aux=None):
 _SPEC_COUNTS: dict = {}
 
 
+def _finish_noop():
+    """Deferred-render finish for paths that verified inline: valid as-is."""
+    return None
+
+
 @jax.jit
 def _jit_stack_counts(a, b, c, d):
     return jnp.stack([a, b, c, d]).astype(jnp.int32)
 
 
 def _render_tiles_two_phase(
-    params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk
+    params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux, chunk, defer=False
 ):
     """Probe-then-march tile render, three phases with compaction between
     each: A1 probes EVERY active-tile ray against the dilated block-max
@@ -747,6 +793,23 @@ def _render_tiles_two_phase(
     detected by the readback and falls back to this same function in
     exact mode (rare).  First call per shape runs exact and seeds the
     cache.
+
+    ``defer=True`` (speculative mode only) goes one step further: even
+    the ONE verification readback blocks until the whole group's queued
+    march drains (TPU programs execute in enqueue order, so the count
+    stack enqueued after the march only completes after it), which
+    serializes consecutive render groups on the host — measured ~29 ms
+    readback + ~43 ms dispatch gap per 8-frame group
+    (experiments/exp_render_anatomy4.py).  Instead of verifying inline,
+    the function returns ``(out, finish)``: the caller dispatches the
+    NEXT group first, then calls ``finish()`` — by which time this
+    group's device work has completed underneath the next group's host
+    assembly.  ``finish()`` verifies, updates the speculation cache, and
+    returns None when the speculative output was valid, or a freshly
+    exact-rendered replacement when it under-speculated (the caller must
+    redo anything derived from the speculative array).  Note the next
+    group then speculates from counts two groups back instead of one —
+    the same slack bounds both (consecutive orbit views drift slowly).
     """
     ct = max(chunk // t, 1)
     cap_t = ((n_tiles + ct - 1) // ct) * ct
@@ -773,7 +836,8 @@ def _render_tiles_two_phase(
         else:
             stop_t = min(((spec[0] + slack_t + ct - 1) // ct) * ct, cap_t)
         if stop_t == 0:
-            return jnp.zeros((n_tiles, 4 * t))
+            out = jnp.zeros((n_tiles, 4 * t))
+            return (out, _finish_noop) if defer else out
         order_pad = (
             jnp.concatenate(
                 [order_t, jnp.zeros((stop_t - n_tiles,), jnp.int32)]
@@ -790,7 +854,8 @@ def _render_tiles_two_phase(
             stop1 = ((n1 + chunk - 1) // chunk) * chunk
             if stop1 == 0:
                 _SPEC_COUNTS[key] = (n_act, 0, 0, 0, False)
-                return jnp.zeros((n_tiles, 4 * t))
+                out = jnp.zeros((n_tiles, 4 * t))
+                return (out, _finish_noop) if defer else out
         else:
             stop1 = min(
                 ((spec[1] + slack + chunk - 1) // chunk) * chunk, pack1.shape[0]
@@ -867,28 +932,46 @@ def _render_tiles_two_phase(
         out = _scatter_tiles(
             rgba_act.reshape(stop_t, 4 * t), order_pad[:stop_t], n_tiles, n_act_dev
         )
-        # one readback for all counts; in speculative mode it overlaps the
-        # queued march (the counts were produced stages earlier)
-        counts = np.asarray(
-            _jit_stack_counts(n_act_dev, n1_dev, n2_dev, ns_dev)
-        )
-        n_act, n1, n2, n_s = (int(x) for x in counts)
-        need_t = min(((n_act + ct - 1) // ct) * ct, cap_t)
-        need_1 = ((n1 + chunk - 1) // chunk) * chunk
-        need_2 = ((n2 + chunk - 1) // chunk) * chunk
-        ok = (
-            stop_t >= need_t
-            and stop1 >= min(need_1, pack1.shape[0])
-            and stop2 >= min(need_2, cap2)
-            and c0 <= n_s
-        )
-        if ok:
-            # remember the RAW counts: the next call re-quantizes with its
-            # slack, so spec stops track the exact path's chunk multiples;
-            # the stability flag marks counts that repeated exactly
-            repeat = spec is not None and tuple(spec[:4]) == (n_act, n1, n2, n_s)
-            _SPEC_COUNTS[key] = (n_act, n1, n2, n_s, repeat)
-            return out
+        # one readback for all counts (stacked: four separate scalar reads
+        # would be four ~29 ms tunnel round trips)
+        counts_dev = _jit_stack_counts(n_act_dev, n1_dev, n2_dev, ns_dev)
+
+        def _verify(counts, _spec=spec, _stop_t=stop_t, _stop1=stop1,
+                    _stop2=stop2, _c0=c0, _cap1=pack1.shape[0], _cap2=cap2):
+            n_act, n1, n2, n_s = (int(x) for x in counts)
+            need_t = min(((n_act + ct - 1) // ct) * ct, cap_t)
+            need_1 = ((n1 + chunk - 1) // chunk) * chunk
+            need_2 = ((n2 + chunk - 1) // chunk) * chunk
+            ok = (
+                _stop_t >= need_t
+                and _stop1 >= min(need_1, _cap1)
+                and _stop2 >= min(need_2, _cap2)
+                and _c0 <= n_s
+            )
+            if ok:
+                # remember the RAW counts: the next call re-quantizes with
+                # its slack, so spec stops track the exact path's chunk
+                # multiples; the stability flag marks counts that repeated
+                repeat = _spec is not None and tuple(_spec[:4]) == (
+                    n_act, n1, n2, n_s,
+                )
+                _SPEC_COUNTS[key] = (n_act, n1, n2, n_s, repeat)
+            return ok
+
+        if defer and not exact:
+            def finish():
+                if _verify(np.asarray(counts_dev)):
+                    return None
+                # under-speculated: the returned array was invalid — re-render
+                # this group exactly and hand the replacement back
+                _SPEC_COUNTS.pop(key, None)
+                return _render_tiles_two_phase(
+                    params, od_t, order_t, n_act_dev, n_tiles, t, cfg, aux,
+                    chunk,
+                )
+            return out, finish
+        if _verify(np.asarray(counts_dev)):
+            return (out, _finish_noop) if defer else out
         # under-speculated: fall back to the exact path once
         spec = None
     return out  # unreachable: the exact attempt always verifies

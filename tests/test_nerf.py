@@ -351,6 +351,49 @@ def test_speculative_render_exact_spec_fallback():
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
+def test_deferred_render_pipeline():
+    """render_views(defer=True): the pipelined eval path (api.eval_nerf)
+    must (a) match the blocking render bit-for-bit when speculation
+    holds, (b) report validity via finish() -> None, and (c) hand back a
+    corrected array via finish() when the group under-speculated."""
+    from nerf_prv_tpu.core.config import CameraConfig
+    from nerf_prv_tpu.nerf.render import _SPEC_COUNTS, build_render_aux, render_views
+
+    cam = CameraConfig(width=512, height=96, fx=400.0, fy=400.0,
+                       ppx=256.0, ppy=48.0)
+    cfg = NerfConfig()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params["grid"] = params["grid"] + 0.5
+    aux = build_render_aux(params, cfg)
+    rot = jnp.eye(3)[None]
+    org = jnp.asarray([[0.5, 0.5, -0.6]])
+    _SPEC_COUNTS.clear()
+    a1 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux)
+    # steady state: deferred render matches, finish() verifies valid
+    d1, fin = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux,
+                           defer=True)
+    assert fin() is None
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(d1))
+    # two deferred groups in flight back-to-back (the eval pipeline shape)
+    d2, fin2 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux,
+                            defer=True)
+    d3, fin3 = render_views(params, org, rot, cam, cfg, chunk=4096, aux=aux,
+                            defer=True)
+    assert fin2() is None and fin3() is None
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(d3))
+
+    # under-speculation: poison the remembered counts (marked stable, so
+    # no slack) far below the real survivor counts — finish() must detect
+    # it and return the corrected render, identical to a fresh exact one
+    key = next(iter(_SPEC_COUNTS))
+    _SPEC_COUNTS[key] = (1, 1, 1, 0, True)
+    d4, fin4 = render_views(params, org, rot, cam, cfg, chunk=4096,
+                            aux=aux, defer=True)
+    redo = fin4()
+    assert redo is not None
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(redo))
+
+
 def test_train_warm_start(tmp_path):
     """train(init_from=...) continues from given params (mode 4's
     warm-started label sweep, modes.mode_instant_ngp warm_start_steps):
