@@ -116,6 +116,10 @@ class NerfConfig:
     # geometry, not a necessity, and short is best
     train_warmup_steps: int = 125
     train_warmup_samples: int = 48
+    # ray batch for the warmup phase only (0 = train_rays).  The warmup
+    # step is row-count-bound like the tight step, so fewer rays cut it
+    # proportionally; quality effect measured in experiments/exp_warmup3.py
+    train_warmup_rays: int = 0
     # training
     train_rays: int = 4096
     # sample this multiple of train_rays candidate pixels per step and keep

@@ -251,7 +251,10 @@ def train(
     phases = []
     if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0 and init_from is None:
         warm = dataclasses.replace(
-            cfg, train_coarse=0, n_samples=cfg.train_warmup_samples
+            cfg,
+            train_coarse=0,
+            n_samples=cfg.train_warmup_samples,
+            train_rays=cfg.train_warmup_rays or cfg.train_rays,
         )
         n_warm = min(cfg.train_warmup_steps, cfg.n_steps)
         phases.append((warm, n_warm))
