@@ -112,6 +112,24 @@ def test_nerf_end_to_end_synthetic(tmp_path):
     assert 0.5 < metrics["SSIM"] <= 1.0
 
 
+def test_snapshot_roundtrip_no_train(tmp_path):
+    """Fast snapshot coverage: bit-exact save/load + cfg shape validation
+    (ADVICE r1) without the trained-render compile cost of the full
+    roundtrip below."""
+    from nerf_prv_tpu.nerf.api import load_snapshot, save_snapshot
+
+    params = init_params(jax.random.PRNGKey(3), TINY)
+    snap = str(tmp_path / "snap.ingp")
+    save_snapshot(snap, params)
+    loaded = load_snapshot(snap, TINY)  # matching cfg validates and passes
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(loaded[k]))
+    bad = dataclasses.replace(TINY, voxel_grid_size=TINY.voxel_grid_size + 2)
+    with pytest.raises(ValueError):
+        load_snapshot(snap, bad)
+
+
+@pytest.mark.slow  # trains + evals twice: ~44 s of CPU scan compiles
 def test_snapshot_roundtrip(tmp_path):
     """save_snapshot/load_snapshot preserve params bit-exactly and render
     identically (≙ run.py --save_snapshot/--load_snapshot, run.py:36-37)."""
@@ -209,6 +227,8 @@ def test_aux_probe_matches_mlp_probe(tmp_path):
     assert mse < 1e-3, mse  # > 30 dB agreement between the probe paths
 
 
+@pytest.mark.slow  # ~20 s; the tile branch identity is also exercised by
+# test_two_phase_partition_rays / the speculative+deferred tests above
 def test_render_views_tile_path_wide_frame():
     """w >= 512 takes the tile-compaction branch; output must match the
     per-ray render of the same rays."""
@@ -394,6 +414,7 @@ def test_deferred_render_pipeline():
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(redo))
 
 
+@pytest.mark.slow  # two full train compiles (~48 s on the 1-core sandbox)
 def test_train_warm_start(tmp_path):
     """train(init_from=...) continues from given params (mode 4's
     warm-started label sweep, modes.mode_instant_ngp warm_start_steps):

