@@ -49,10 +49,19 @@ def select_labels(
 
 
 def stratified_split(
-    labels: Dict[str, int], seed: int = 0
+    labels: Dict[str, int], seed: int = 0, split: str = "reference"
 ) -> Tuple[List[str], List[str]]:
     """Per-category, per-label 80/20 split with >=1 object per (cat, label)
-    in train (≙ main.cpp:2837-2873)."""
+    in train (≙ main.cpp:2837-2873).
+
+    ``split="reference"`` reproduces the reference's threshold
+    ``count < (n+1)*0.8`` exactly — which sends a (cat, label) cell to val
+    only once it holds >= 5 objects.  That is fine at ShapeNet scale
+    (3000 objects / 20 categories) but starves val at the ~100-object
+    procedural scale (round 2: 1 val object).  ``split="holdout"`` keeps
+    the >=1-in-train guarantee and the 80/20 intent, but splits each
+    cell's REMAINDER as floor(n*0.8) train / rest val, so every cell with
+    >= 2 members contributes at least one val object."""
     rng = np.random.default_rng(seed)
     train, val = [], []
     by_cat: Dict[str, Dict[int, List[str]]] = {}
@@ -68,7 +77,12 @@ def stratified_split(
             # first one always to train (≙ "guarantee one per label in train")
             train.append(group.pop(0))
             rng.shuffle(group)
-            cut = max(0, int((len(group) + 2) * 0.8) - 1)  # ≙ (n+1)*0.8 w/ 1 taken
+            if split == "reference":
+                cut = max(0, int((len(group) + 2) * 0.8) - 1)  # ≙ (n+1)*0.8 w/ 1 taken
+            elif split == "holdout":
+                cut = int(len(group) * 0.8)
+            else:
+                raise ValueError(f"unknown split mode {split!r}")
             train.extend(group[:cut])
             val.extend(group[cut:])
     return train, val
@@ -82,6 +96,7 @@ def build_dataset(
     n_views: int = 64,
     seed: int = 0,
     copy_images: bool = True,
+    split: str = "reference",
 ) -> Dict[str, object]:
     """Assemble ``pvb_dataset/`` + split files (≙ main.cpp:2639-2885).
 
@@ -109,7 +124,7 @@ def build_dataset(
                 f.write(str(label))
             f_names.write(name + "\n")
 
-    train, val = stratified_split(labels, seed=seed)
+    train, val = stratified_split(labels, seed=seed, split=split)
     with open(os.path.join(ds_root, "train_split.txt"), "w") as f:
         f.write("\n".join(train) + ("\n" if train else ""))
     with open(os.path.join(ds_root, "val_split.txt"), "w") as f:

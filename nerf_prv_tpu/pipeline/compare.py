@@ -30,6 +30,25 @@ from ..viewspace.hemisphere import ViewSpace, load_path_order, load_view_space
 STAT_BUDGETS = {"mode": 32, "median": 34, "mean": 35}  # ≙ main.cpp:3001-3005
 
 
+def stat_budgets_from_labels(labels: Dict[str, int]) -> Dict[str, int]:
+    """Derive the statistics baselines from an actual label distribution.
+
+    The reference hard-codes 32/34/35 (main.cpp:3001-3005), which are the
+    mode/median/mean of ITS val split's labels (main.cpp:2644-2645 context).
+    At our dataset scale those constants don't describe the data, so this
+    computes them the way the reference's were obtained: mode = most common
+    label (smallest on ties), median and mean rounded to integers."""
+    vals = np.array(sorted(labels.values()))
+    if len(vals) == 0:
+        return dict(STAT_BUDGETS)
+    uniq, counts = np.unique(vals, return_counts=True)
+    return {
+        "mode": int(uniq[np.argmax(counts)]),
+        "median": int(round(float(np.median(vals)))),
+        "mean": int(round(float(vals.mean()))),
+    }
+
+
 def match_distribution(
     val_labels: Dict[str, int],
     candidate_labels: Dict[str, int],
@@ -116,9 +135,15 @@ def compare_objects(
     predictor=None,
     nerf_cfg: Optional[NerfConfig] = None,
     out_file: Optional[str] = None,
+    stat_budgets: Optional[Dict[str, int]] = None,
 ) -> Dict[str, dict]:
     """Run the budget comparison for each object and write the summary table
-    (≙ pvb_statistic_compare.txt, main.cpp:3301-3464)."""
+    (≙ pvb_statistic_compare.txt, main.cpp:3301-3464).
+
+    ``stat_budgets``: the mode/median/mean baselines.  Defaults to the
+    reference's published constants; pass
+    ``stat_budgets_from_labels(val_labels)`` to derive them from the
+    dataset actually in use (≙ how the reference's constants were made)."""
     from ..scene.object_setup import load_object
     from .coverage import get_coverage
 
@@ -128,7 +153,7 @@ def compare_objects(
         scene = load_object(obj_cfg, name)
         if not scene.ok:
             continue
-        budgets = {"gt": labels[name], **STAT_BUDGETS}
+        budgets = {"gt": labels[name], **(stat_budgets or STAT_BUDGETS)}
         if predictor is not None:
             init_json = get_coverage(scene, obj_cfg, 5)
             coverage_dir = os.path.join(obj_cfg.gt_path, "5")

@@ -226,8 +226,10 @@ def mode_read_label(cfg: Config, names: Sequence[str]):
     return write_label_stats(cfg.workspace, results)
 
 
-def mode_get_dataset(cfg: Config, names: Sequence[str]):
-    """Mode 6 (≙ main.cpp:2639-2885)."""
+def mode_get_dataset(cfg: Config, names: Sequence[str], split: str = "reference"):
+    """Mode 6 (≙ main.cpp:2639-2885).  ``split``: see
+    ``labeling.dataset.stratified_split`` ("holdout" keeps a real val set
+    at sub-ShapeNet object counts)."""
     from ..labeling.dataset import build_dataset
     from ..labeling.labels import parse_label_file
 
@@ -237,7 +239,8 @@ def mode_get_dataset(cfg: Config, names: Sequence[str]):
         results.append(parse_label_file(os.path.join(obj_cfg.gt_path, "label.txt")))
     coverage_root = os.path.dirname(cfg.replace(name_of_pcd="x").gt_path)
     return build_dataset(
-        cfg.workspace, names, results, coverage_root=coverage_root, seed=cfg.seed
+        cfg.workspace, names, results, coverage_root=coverage_root, seed=cfg.seed,
+        split=split,
     )
 
 

@@ -36,6 +36,16 @@ def test_stat_budgets_match_reference():
     assert STAT_BUDGETS == {"mode": 32, "median": 34, "mean": 35}
 
 
+def test_stat_budgets_from_labels():
+    from nerf_prv_tpu.pipeline.compare import stat_budgets_from_labels
+
+    labels = {"a": 20, "b": 20, "c": 30, "d": 40, "e": 25}
+    got = stat_budgets_from_labels(labels)
+    assert got == {"mode": 20, "median": 25, "mean": 27}
+    # empty -> falls back to the reference constants
+    assert stat_budgets_from_labels({}) == STAT_BUDGETS
+
+
 def test_match_distribution_tracks_val_histogram():
     val = {f"v{i}": 20 for i in range(8)} | {f"w{i}": 30 for i in range(4)}
     cand = {f"c{i}": 20 for i in range(50)} | {f"d{i}": 30 for i in range(50)}

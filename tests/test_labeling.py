@@ -125,6 +125,22 @@ def test_select_and_split_and_build(tmp_path):
     assert (tmp_path / "pvb_dataset" / "tab0" / "view_budget.txt").read_text() == "20"
 
 
+def test_stratified_split_holdout_fills_val():
+    """The reference threshold sends a cell to val only at >=5 members
+    (measured round 2: 1 val object of 19).  holdout mode must give every
+    >=2-member cell at least one val object while keeping >=1 in train."""
+    names = [f"tab{i}" for i in range(4)] + [f"car{i}" for i in range(2)]
+    sel = dict(zip(names, [20, 20, 20, 20, 25, 25]))
+    train_ref, val_ref = stratified_split(sel, seed=0, split="reference")
+    assert val_ref == []  # cells of 4 and 2: reference starves val
+    train, val = stratified_split(sel, seed=0, split="holdout")
+    assert set(train) | set(val) == set(sel)
+    assert not (set(train) & set(val))
+    # each (cat,label) cell: >=1 train member AND >=1 val member (size >= 2)
+    for cell in ({"tab0", "tab1", "tab2", "tab3"}, {"car0", "car1"}):
+        assert cell & set(train) and cell & set(val)
+
+
 def test_write_label_stats(tmp_path):
     results = _fake_results([20, 22, 24, 30])
     agg = write_label_stats(str(tmp_path), results)

@@ -227,8 +227,9 @@ def test_aux_probe_matches_mlp_probe(tmp_path):
     assert mse < 1e-3, mse  # > 30 dB agreement between the probe paths
 
 
-@pytest.mark.slow  # ~20 s; the tile branch identity is also exercised by
-# test_two_phase_partition_rays / the speculative+deferred tests above
+@pytest.mark.slow  # ~20 s.  NOTE: this is the ONLY tile-vs-per-ray identity
+# check; the fast lane keeps just the spec/deferred self-consistency tests
+# (tile-vs-tile), so run --slow after touching the tile-compaction math.
 def test_render_views_tile_path_wide_frame():
     """w >= 512 takes the tile-compaction branch; output must match the
     per-ray render of the same rays."""
