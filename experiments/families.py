@@ -245,9 +245,47 @@ def van(rng, hardness=0.5, n=120_000):
     return np.concatenate(parts), np.concatenate(cols).astype(np.uint8)
 
 
+def nos(rng, hardness=0.5, n=100_000):
+    """LOW-label anchor (round-3 pilot2): per-point color noise the 40^3
+    grid cannot represent.  The PSNR ceiling is low and reached within a
+    few views, so the fitted curve flattens almost immediately (same
+    mechanism that put round-2 checker boxes at 27, but stronger).
+    hardness raises the noise share of the color: h=1 is pure noise."""
+    pts = _sphere_points(n, rng, fuzz=0.05)
+    smooth = _smooth_colors(pts, rng, freq=1.0).astype(np.float64)
+    noise = rng.uniform(0, 255, (n, 3))
+    w = 0.45 + 0.55 * hardness
+    cols = (1 - w) * smooth + w * noise
+    return pts, np.clip(cols, 0, 255).astype(np.uint8)
+
+
+def fan(rng, hardness=0.5, n=130_000):
+    """HIGH-label anchor: van taken past its measured sweet spot (van h=1
+    scored 34, +11 over h=0 — the strongest upward lever in pilot 1).
+    More, thinner, more twisted vanes sustain the PSNR slope: each view
+    sees into only a narrow azimuth band between blades."""
+    k = int(12 + round(8 * hardness))
+    per = n // k
+    parts, cols = [], []
+    twist = 1.4 + 1.2 * hardness
+    for j in range(k):
+        r = rng.uniform(0.15, 1.0, per)
+        z = rng.uniform(-0.7, 0.7, per)
+        ang = 2 * np.pi * j / k + twist * z
+        th = 0.02
+        w = rng.uniform(-th, th, per)
+        p = np.stack([r * np.cos(ang) - w * np.sin(ang),
+                      r * np.sin(ang) + w * np.cos(ang), z], axis=1)
+        parts.append(p)
+        base = rng.uniform(60, 220, 3)
+        cols.append(np.clip(base + 40 * np.sin(p * 3 + j), 0, 255))
+    return np.concatenate(parts), np.concatenate(cols).astype(np.uint8)
+
+
 FAMILIES = {
     "uni": uni, "ell": ell, "blo": blo, "tor": tor, "box": box,
     "clu": clu, "cup": cup, "pla": pla, "spi": spi, "van": van,
+    "nos": nos, "fan": fan,
 }
 
 

@@ -36,11 +36,14 @@ def test_grn_is_identity_at_init():
 
 
 def test_convnext_atto_shapes():
+    # smallest spatial size the stem+3 downsamples support (32 -> 1):
+    # this is the fast lane's only full-convnext forward, and eager CPU
+    # dispatch dominates its cost, so keep the shapes minimal
     model = convnextv2_atto(num_classes=1000)
-    x = jnp.zeros((2, 64, 64, 3))
+    x = jnp.zeros((1, 32, 32, 3))
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     out = model.apply({"params": params}, x)
-    assert out.shape == (2, 1000)
+    assert out.shape == (1, 1000)
 
 
 def test_pvbnet_pooling_math_stub_encoder():
