@@ -205,7 +205,16 @@ def phase_c_train(cfg, info):
 
 
 def main():
+    import argparse
+
     from families import object_roster
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all", choices=["a", "b", "c", "all"],
+                    help="b/c restrict the roster to objects whose labels "
+                         "phase A already recorded, so a truncated (but "
+                         ">=100-object) phase A still yields a dataset")
+    args = ap.parse_args()
 
     cfg = pipeline_config()
     # index-major order (uni0, ell0, ..., fan0, uni1, ...): if the run is
@@ -214,9 +223,15 @@ def main():
     roster = object_roster(PER_FAMILY)
     names = [n for i in range(PER_FAMILY)
              for n in roster if int(n[3:]) == i]
-    phase_a_labels(cfg, names)
-    info = phase_b_dataset(cfg, names)
-    phase_c_train(cfg, info)
+    if args.phase in ("a", "all"):
+        phase_a_labels(cfg, names)
+    if args.phase in ("b", "c", "all"):
+        with open(os.path.join(ART, "dataset100_labels.json")) as f:
+            done = json.load(f)["objects"]
+        names = [n for n in names if n in done]
+        info = phase_b_dataset(cfg, names)
+        if args.phase in ("c", "all"):
+            phase_c_train(cfg, info)
     print("DONE", flush=True)
 
 
