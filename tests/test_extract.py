@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -35,6 +37,9 @@ def test_save_geometry_writes_ply(tmp_path):
     assert (pts >= 0).all() and (pts <= 1).all()
 
 
+@pytest.mark.slow  # ~36 s: three full-frame renders; the render path itself
+# stays fast-covered (deferred/speculative tests), this only adds the
+# video/frame-writer IO on top
 def test_render_video_frames(tmp_path):
     import sys
 

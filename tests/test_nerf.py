@@ -158,6 +158,9 @@ def test_snapshot_roundtrip(tmp_path):
         load_snapshot(snap, dataclasses.replace(cfg, field_impl="hash"))
 
 
+@pytest.mark.slow  # ~36 s: two full render-grad compiles.  The bf16 gather
+# VIEW itself is the default (voxel_gather_dtype="bf16") and is exercised by
+# every fast render/train test; only this f32-closeness numerics bound is slow.
 def test_bf16_gather_grad_close_to_f32(tmp_path):
     """Gradients through the bf16 gather view stay close to the full-f32
     path: per-contribution cotangents are bf16-rounded before the f32
@@ -343,8 +346,10 @@ def test_speculative_render_exact_spec_fallback():
     from nerf_prv_tpu.core.config import CameraConfig
     from nerf_prv_tpu.nerf.render import _SPEC_COUNTS, build_render_aux, render_views
 
-    cam = CameraConfig(width=512, height=96, fx=400.0, fy=400.0,
-                       ppx=256.0, ppy=48.0)
+    # 512 wide forces the tile branch; 24 rows (3 chunks of 4096) keeps
+    # the repeated renders fast while still spanning multiple chunks
+    cam = CameraConfig(width=512, height=24, fx=400.0, fy=400.0,
+                       ppx=256.0, ppy=12.0)
     cfg = NerfConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
     params["grid"] = params["grid"] + 0.5
@@ -380,8 +385,10 @@ def test_deferred_render_pipeline():
     from nerf_prv_tpu.core.config import CameraConfig
     from nerf_prv_tpu.nerf.render import _SPEC_COUNTS, build_render_aux, render_views
 
-    cam = CameraConfig(width=512, height=96, fx=400.0, fy=400.0,
-                       ppx=256.0, ppy=48.0)
+    # 512 wide forces the tile branch; 24 rows (3 chunks of 4096) keeps
+    # the repeated renders fast while still spanning multiple chunks
+    cam = CameraConfig(width=512, height=24, fx=400.0, fy=400.0,
+                       ppx=256.0, ppy=12.0)
     cfg = NerfConfig()
     params = init_params(jax.random.PRNGKey(0), cfg)
     params["grid"] = params["grid"] + 0.5
