@@ -40,9 +40,9 @@ ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 PER_FAMILY = 10  # 12 families x 10 = 120 objects
 ARCH = "convnextv2_atto"  # measured-feasible on the tunneled chip;
 CROP = 180                # tiny@720 rate is measured by exp_tiny720.py
-PRETRAIN_EPOCHS = 5  # r2 measured 132 s/epoch @ 24 objs (~550 s @ 100);
+PRETRAIN_EPOCHS = 3  # r2 measured 132 s/epoch @ 24 objs (~550 s @ 100);
                      # 3 epochs already gave the 4x convergence win
-EPOCHS = 100
+EPOCHS = 60  # r2 converged well within 60; best ckpt is saved either way
 
 
 def phase_a_labels(cfg, names):

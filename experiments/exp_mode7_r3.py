@@ -78,6 +78,7 @@ def main():
         cfg, names, labels, predictor=predictor,
         nerf_cfg=NerfConfig(n_steps=cfg.n_steps),
         stat_budgets=stat_budgets,
+        predictions={k: int(v) for k, v in preds.items()},
     )
     el = time.perf_counter() - t0
 

@@ -136,6 +136,7 @@ def compare_objects(
     nerf_cfg: Optional[NerfConfig] = None,
     out_file: Optional[str] = None,
     stat_budgets: Optional[Dict[str, int]] = None,
+    predictions: Optional[Dict[str, int]] = None,
 ) -> Dict[str, dict]:
     """Run the budget comparison for each object and write the summary table
     (≙ pvb_statistic_compare.txt, main.cpp:3301-3464).
@@ -143,7 +144,13 @@ def compare_objects(
     ``stat_budgets``: the mode/median/mean baselines.  Defaults to the
     reference's published constants; pass
     ``stat_budgets_from_labels(val_labels)`` to derive them from the
-    dataset actually in use (≙ how the reference's constants were made)."""
+    dataset actually in use (≙ how the reference's constants were made).
+
+    ``predictions``: precomputed per-object PRV budgets.  When given they
+    are used verbatim (so the recorded predictions and the evaluated
+    budgets cannot drift apart); otherwise ``predictor`` is queried the
+    reference way — pattern [0,1,3] of the 5-view init coverage
+    (≙ infer_server.py:47,80-88, main.cpp:3136-3205)."""
     from ..scene.object_setup import load_object
     from .coverage import get_coverage
 
@@ -154,7 +161,9 @@ def compare_objects(
         if not scene.ok:
             continue
         budgets = {"gt": labels[name], **(stat_budgets or STAT_BUDGETS)}
-        if predictor is not None:
+        if predictions is not None and name in predictions:
+            budgets["prv"] = int(predictions[name])
+        elif predictor is not None:
             init_json = get_coverage(scene, obj_cfg, 5)
             coverage_dir = os.path.join(obj_cfg.gt_path, "5")
             budgets["prv"] = predictor.predict_from_coverage(coverage_dir, [0, 1, 3])

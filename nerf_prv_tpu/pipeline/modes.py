@@ -251,15 +251,19 @@ def mode_test_objects(
     predictor=None,
     nerf_cfg: Optional[NerfConfig] = None,
     stat_budgets: Optional[Dict[str, int]] = None,
+    predictions: Optional[Dict[str, int]] = None,
 ):
     """Mode 7 (≙ main.cpp:2886-3465).  ``stat_budgets`` overrides the
     reference's hard-coded 32/34/35 baselines — pass
     ``compare.stat_budgets_from_labels(val_labels)`` to derive them from
-    the dataset in use (≙ how the reference's constants were obtained)."""
+    the dataset in use (≙ how the reference's constants were obtained).
+    ``predictions`` pins the PRV budgets to precomputed values (see
+    ``compare.compare_objects``)."""
     from .compare import compare_objects
 
     return compare_objects(cfg, names, labels, predictor=predictor,
-                           nerf_cfg=nerf_cfg, stat_budgets=stat_budgets)
+                           nerf_cfg=nerf_cfg, stat_budgets=stat_budgets,
+                           predictions=predictions)
 
 
 def mode_shapenet_preprocess(cfg: Config, synset_ids: Sequence[str]):

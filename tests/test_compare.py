@@ -96,3 +96,15 @@ def test_compare_objects_end_to_end(tmp_path):
     assert os.path.exists(root / "ws" / "pvb_statistic_compare.txt")
     # metric files cached for idempotence (≙ the reference's resume guards)
     assert os.path.exists(root / "ws" / "Coverage_images" / "ShapeNet" / "toyc0" / "compare_14.txt")
+
+    # precomputed predictions pin the prv budget verbatim and take priority
+    # over the predictor (which must then never be queried)
+    class Boom:
+        def predict_from_coverage(self, *a):  # pragma: no cover
+            raise AssertionError("predictor must not be called")
+
+    rows2 = compare_objects(cfg, ["toyc0"], labels, nerf_cfg=TINY_NERF,
+                            predictor=Boom(), predictions={"toyc0": 14})
+    assert rows2["toyc0"]["prv"]["budget"] == 14
+    # budget 14 was cached above -> identical metrics, no retrain
+    assert rows2["toyc0"]["prv"]["PSNR"] == entry["gt"]["PSNR"]
