@@ -40,9 +40,11 @@ ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 PER_FAMILY = 10  # 12 families x 10 = 120 objects
 ARCH = "convnextv2_atto"  # measured-feasible on the tunneled chip;
 CROP = 180                # tiny@720 rate is measured by exp_tiny720.py
-PRETRAIN_EPOCHS = 3  # r2 measured 132 s/epoch @ 24 objs (~550 s @ 100);
-                     # 3 epochs already gave the 4x convergence win
-EPOCHS = 60  # r2 converged well within 60; best ckpt is saved either way
+PRETRAIN_EPOCHS = 2  # r2 measured ~3.7 s/step through the tunnel; at 120
+                     # objects (64 samples each) 2 epochs sees 3x the total
+                     # samples of r2's measured 3-epoch win
+EPOCHS = 40  # with the pretrained encoder r2 converged by epoch 15 of ~2.4
+             # steps each; 40 epochs x ~11 steps is generous headroom
 
 
 def phase_a_labels(cfg, names):

@@ -48,6 +48,11 @@ def main():
     ds_root = os.path.join(cfg.workspace, "pvb_dataset")
     with open(os.path.join(ds_root, "val_split.txt")) as f:
         names = [ln.strip() for ln in f if ln.strip()]
+    if len(names) > 15:
+        # VERDICT r2 item 2 asks >=10 held-out objects; cap the chip time at
+        # 15, spread across families (val_split is family-sorted, so stride)
+        idx = np.linspace(0, len(names) - 1, 15).round().astype(int)
+        names = [names[i] for i in sorted(set(idx.tolist()))]
     labels = {
         n: int(np.loadtxt(os.path.join(ds_root, n, "view_budget.txt")))
         for n in names

@@ -122,6 +122,15 @@ class NerfConfig:
     train_warmup_rays: int = 0
     # training
     train_rays: int = 4096
+    # per-step RNG strategy: "split" draws each stream (ray index, bg
+    # color, stratified jitter) through its own key split — 5-6 tiny
+    # threefry dispatches per step; "fused" derives all of them from ONE
+    # random.bits call (exp_step_residue measured the split-path sampling
+    # at ~0.5 ms of the 2.8 ms step — launch-bound, not compute-bound).
+    # Same distributions (24-bit mantissa uniforms, modulo index), but a
+    # different random stream — flip only with quality gates re-run
+    # (experiments/exp_fused_rng.py)
+    train_rng: str = "split"
     # sample this multiple of train_rays candidate pixels per step and keep
     # the bounding-sphere hits (1 = disabled); see train._sample_batch
     train_hit_oversample: int = 4

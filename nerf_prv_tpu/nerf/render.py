@@ -337,12 +337,16 @@ def render_rays(
     key: Optional[jax.Array] = None,
     aux: Optional[RenderAux] = None,
     probe_raw: Optional[jnp.ndarray] = None,
+    jitter: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March rays through the bounded volume; returns (rgb (N,3), alpha (N,)).
 
     Stratified jitter when ``key`` is given (training); midpoint samples
     otherwise (eval/screenshots — deterministic, spp-free analytic
     compositing instead of the reference's 8-spp averaging, run.py:232).
+    A precomputed ``jitter`` (N, n_samples) also selects the training
+    march (cfg.train_rng="fused" hands the whole step's randomness in
+    one block; requires cfg.n_importance == 0).
     With ``cfg.n_importance > 0`` *training* runs a density-only coarse pass
     and evaluates the full field at importance-resampled points; deterministic
     renders always use a flat ``cfg.render_n_samples`` march — importance
@@ -350,7 +354,9 @@ def render_rays(
     no backward scatter to shrink (measured: flat-96 2.6 Mrays/s vs
     importance 1.3 Mrays/s at 1280x720 on v5e).
     """
-    training = key is not None
+    training = key is not None or jitter is not None
+    if jitter is not None and cfg.n_importance > 0:
+        raise ValueError("precomputed jitter requires cfg.n_importance == 0")
     n = origins.shape[0]
     if training:
         ns = cfg.n_samples
@@ -407,11 +413,12 @@ def render_rays(
 
     span = (tmax - tmin) / ns
     base = jnp.arange(ns, dtype=jnp.float32)[None, :]
-    if key is not None:
-        key, kj = jax.random.split(key)
-        jitter = jax.random.uniform(kj, (n, ns))
-    else:
-        jitter = 0.5
+    if jitter is None:
+        if key is not None:
+            key, kj = jax.random.split(key)
+            jitter = jax.random.uniform(kj, (n, ns))
+        else:
+            jitter = 0.5
     ts = tmin[:, None] + (base + jitter) * span[:, None]
     pos = origins[:, None, :] + dirs[:, None, :] * ts[..., None]  # (N, S, 3)
     pos = jnp.clip(pos, 0.0, 1.0 - 1e-6)

@@ -92,6 +92,37 @@ def _sample_batch_pooled(key, pixels_u8, rot, org, camera, n_rays, pool, n_hit):
     return o, d, target, bg
 
 
+def _sample_batch_pooled_fused(
+    key, pixels_u8, rot, org, camera, n_rays, pool, n_hit, n_samples
+):
+    """One-dispatch variant of :func:`_sample_batch_pooled` that also returns
+    the stratified march jitter.
+
+    The split path costs 5-6 separate tiny threefry dispatches per step
+    (2 splits + randint + bg uniform + render jitter), measured at ~0.5 ms
+    of the 2.8 ms tight step (experiments/exp_step_residue.py) — pure
+    launch overhead on rows this small.  Here ONE ``random.bits`` call
+    yields every stream: column 0 -> ray index (modulo, bias < n_hit/2^32),
+    columns 1-3 -> background RGB, the rest -> per-sample jitter, both as
+    24-bit-mantissa uniforms (the same construction jax.random.uniform
+    uses).  Same distributions, different stream — gate via
+    ``cfg.train_rng`` ("fused") with quality re-validation."""
+    bits = jax.random.bits(key, (n_rays, 4 + n_samples), dtype=jnp.uint32)
+    n_f, h, w = pixels_u8.shape[:3]
+    r = (bits[:, 0] % jnp.maximum(n_hit, 1).astype(jnp.uint32)).astype(jnp.int32)
+    flat_idx = pool[r]
+    f = flat_idx // (h * w)
+    p = flat_idx % (h * w)
+    vi, ui = p // w, p % w
+    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
+    flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
+    rgba = flat[flat_idx].astype(jnp.float32) / 255.0
+    uni = (bits[:, 1:] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    bg, jitter = uni[:, :3], uni[:, 3:]
+    target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+    return o, d, target, bg, jitter
+
+
 def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_frames=None):
     kf, ku, kv, kb = jax.random.split(key, 4)
     n_f, h, w = pixels_u8.shape[:3]
@@ -128,6 +159,15 @@ def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_fram
     return o, d, target, bg
 
 
+def _huber_mean(err, cfg: NerfConfig):
+    delta = cfg.huber_delta
+    abs_err = jnp.abs(err)
+    huber = jnp.where(
+        abs_err <= delta, 0.5 * err * err, delta * (abs_err - 0.5 * delta)
+    )
+    return jnp.mean(huber)
+
+
 @partial(jax.jit, static_argnames=("cfg", "camera", "n_steps"), donate_argnums=(0, 1))
 def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfConfig, n_steps: int, n_frames=None, pool=None, pool_n=None):
     opt = make_optimizer(cfg)
@@ -145,6 +185,14 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
         from .voxelfield import lattice_corner_raw
 
     def loss_fn(p, key, probe_raw):
+        if pool is not None and cfg.train_rng == "fused":
+            o, d, target, bg, jitter = _sample_batch_pooled_fused(
+                key, pixels_u8, rot, org, camera, cfg.train_rays, pool,
+                pool_n, cfg.n_samples,
+            )
+            rgb, acc = render_rays(p, o, d, cfg, jitter=jitter,
+                                   probe_raw=probe_raw)
+            return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
         ks, km = jax.random.split(key)
         if pool is not None:
             o, d, target, bg = _sample_batch_pooled(
@@ -156,14 +204,7 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
                 ks, pixels_u8, rot, org, camera, cfg.train_rays, oversample, n_frames
             )
         rgb, acc = render_rays(p, o, d, cfg, key=km, probe_raw=probe_raw)
-        rgb = rgb + bg * (1.0 - acc[:, None])
-        err = rgb - target
-        delta = cfg.huber_delta
-        abs_err = jnp.abs(err)
-        huber = jnp.where(
-            abs_err <= delta, 0.5 * err * err, delta * (abs_err - 0.5 * delta)
-        )
-        return jnp.mean(huber)
+        return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
 
     def step(carry, inp):
         p, s, praw = carry

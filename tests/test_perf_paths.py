@@ -193,3 +193,57 @@ def test_hit_pool_masks_padded_frames():
     pool_2, n_2 = build_hit_pool(rot, org, cam, jnp.int32(2))
     assert int(n_2) < int(n_all)
     assert int(jnp.max(pool_2[: int(n_2)])) < 2 * h * w
+
+
+def test_fused_rng_sampler_and_train_step():
+    """cfg.train_rng="fused": the one-dispatch sampler draws valid hit rays
+    with in-range uniforms, and a fused train_chunk optimizes the same loss
+    the split path does (different stream, same distributions)."""
+    from nerf_prv_tpu.nerf.train import (
+        _sample_batch_pooled_fused, build_hit_pool, make_optimizer, train_chunk,
+    )
+    from nerf_prv_tpu.nerf.rays import ray_sphere
+
+    rng = np.random.default_rng(7)
+    h = w = 24
+    n_f = 3
+    views = rng.normal(size=(n_f, 3))
+    views[:, 2] = np.abs(views[:, 2])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+    c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=12.0, ppy=12.0)
+    pool, n_hit = build_hit_pool(rot, org, cam)
+
+    pixels = jnp.asarray(rng.integers(0, 255, (n_f, h, w, 4)), jnp.uint8)
+    ns = 8
+    o, d, target, bg, jit = _sample_batch_pooled_fused(
+        jax.random.PRNGKey(0), pixels, rot, org, cam, 128, pool, n_hit, ns
+    )
+    assert o.shape == (128, 3) and jit.shape == (128, ns)
+    assert bool(ray_sphere(o, d)[2].all())  # every drawn ray hits the sphere
+    for u in (bg, jit):
+        assert float(u.min()) >= 0.0 and float(u.max()) < 1.0
+    # uniforms really vary (not a degenerate constant block)
+    assert float(jit.std()) > 0.2 and float(bg.std()) > 0.2
+    # target blends the gathered pixel with bg by alpha (spot-check ranges)
+    assert float(target.min()) >= 0.0 and float(target.max()) <= 1.0
+
+    # fused train_chunk runs and optimizes comparably to the split path
+    cfg_split = dataclasses.replace(TINY, n_samples=8, train_rays=256, train_coarse=0)
+    cfg_fused = dataclasses.replace(cfg_split, train_rng="fused")
+    losses = {}
+    for name, cfg in (("split", cfg_split), ("fused", cfg_fused)):
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        opt_state = make_optimizer(cfg).init(params)
+        _, _, ls = train_chunk(
+            params, opt_state, jax.random.PRNGKey(1), pixels, rot, org,
+            cam, cfg, 60, None, pool, n_hit,
+        )
+        losses[name] = np.asarray(ls)
+    for ls in losses.values():
+        assert ls[-5:].mean() < ls[:5].mean()  # both optimize
+    # same loss surface: final plateaus agree within a loose factor
+    a, b = losses["split"][-10:].mean(), losses["fused"][-10:].mean()
+    assert 0.25 < a / b < 4.0, (a, b)
