@@ -68,27 +68,34 @@ def main():
     from nerf_prv_tpu.nerf.train import build_hit_pool
     from bench import _scene
 
+    art_path = os.path.join(ART, "fused_rng.json")
     out = {"steps": STEPS}
+    if os.path.exists(art_path):
+        with open(art_path) as f:
+            out.update(json.load(f))
 
     # ---- step-time: split vs fused, tight + warmup phases ------------------
-    camera = CameraConfig()
-    train_js, _ = _scene(camera)
-    ds = load_dataset(train_js, with_images=True)
-    pixels = jnp.asarray(
-        np.clip(np.asarray(ds.pixels) * 255.0 + 0.5, 0, 255).astype(np.uint8))
-    rot = jnp.asarray(ds.rotations, jnp.float32)
-    org = jnp.asarray(ds.origins, jnp.float32)
-    pool, pool_n = build_hit_pool(rot, org, camera)
+    if "warmup_ms_fused" not in out:
+        camera = CameraConfig()
+        train_js, _ = _scene(camera)
+        ds = load_dataset(train_js, with_images=True)
+        pixels = jnp.asarray(
+            np.clip(np.asarray(ds.pixels) * 255.0 + 0.5, 0, 255).astype(np.uint8))
+        rot = jnp.asarray(ds.rotations, jnp.float32)
+        org = jnp.asarray(ds.origins, jnp.float32)
+        pool, pool_n = build_hit_pool(rot, org, camera)
 
-    for mode in ("split", "fused"):
-        cfg = NerfConfig(train_rng=mode)
-        warm = dataclasses.replace(cfg, train_coarse=0,
-                                   n_samples=cfg.train_warmup_samples)
-        out[f"tight_ms_{mode}"] = round(
-            measure_step(cfg, cfg, pixels, rot, org, camera, pool, pool_n), 3)
-        out[f"warmup_ms_{mode}"] = round(
-            measure_step(cfg, warm, pixels, rot, org, camera, pool, pool_n), 3)
-        print({k: v for k, v in out.items() if mode in k}, flush=True)
+        for mode in ("split", "fused"):
+            cfg = NerfConfig(train_rng=mode)
+            warm = dataclasses.replace(cfg, train_coarse=0,
+                                       n_samples=cfg.train_warmup_samples)
+            out[f"tight_ms_{mode}"] = round(
+                measure_step(cfg, cfg, pixels, rot, org, camera, pool, pool_n), 3)
+            out[f"warmup_ms_{mode}"] = round(
+                measure_step(cfg, warm, pixels, rot, org, camera, pool, pool_n), 3)
+            print({k: v for k, v in out.items() if mode in k}, flush=True)
+        with open(art_path, "w") as f:
+            json.dump(out, f, indent=1)
 
     # ---- quality gates: splat + thin scenes x 2 seeds, fused ---------------
     qcam = CameraConfig(
@@ -110,7 +117,7 @@ def main():
     out["gate_splat_ok"] = min(quality["splat/s0"], quality["splat/s1"]) >= 35.3
     out["gate_thin_ok"] = min(quality["thin/s0"], quality["thin/s1"]) >= 35.30
 
-    with open(os.path.join(ART, "fused_rng.json"), "w") as f:
+    with open(art_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out), flush=True)
     print("DONE", flush=True)

@@ -35,17 +35,23 @@ def make_scenes(cam):
     from exp_thin_geometry import make_thin_object
     from synthetic import write_scene
 
+    def _complete(d):
+        # a stale dir can hold the json but not the images (tmp cleanup):
+        # require the first frame too, else regenerate
+        return (os.path.exists(os.path.join(d, "train.json"))
+                and os.path.exists(os.path.join(d, "train", "rgbaClip_0.png")))
+
     scenes = {}
-    splat_dir = "/tmp/exp_quality_scene"
-    if not os.path.exists(os.path.join(splat_dir, "train.json")):
+    splat_dir = "/tmp/exp_quality_scene_r3"
+    if not _complete(splat_dir):
         write_scene(splat_dir, n_train=24, n_test=8, camera=cam,
                     point_size=2, n_points=60000)
     scenes["splat"] = (os.path.join(splat_dir, "train.json"),
                       os.path.join(splat_dir, "test.json"))
 
-    thin_dir = "/tmp/exp_thin_scene"
+    thin_dir = "/tmp/exp_thin_scene_r3"
     train_js = os.path.join(thin_dir, "train.json")
-    if not os.path.exists(train_js):
+    if not _complete(thin_dir):
         pts, cols = make_thin_object()
         center = pts.mean(axis=0)
         predicted_size = float(np.linalg.norm(pts - center, axis=1).max() * 17 / 16)
