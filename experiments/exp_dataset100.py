@@ -36,15 +36,20 @@ import numpy as np
 
 from exp_label_spread import ROOT, pipeline_config
 
-ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
-PER_FAMILY = 10  # 12 families x 10 = 120 objects
+ART = os.environ.get(
+    "PRV3_ART",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+PER_FAMILY = int(os.environ.get("PRV3_PER_FAMILY", 10))  # 12 families x 10
 ARCH = "convnextv2_atto"  # measured-feasible on the tunneled chip;
-CROP = 180                # tiny@720 rate is measured by exp_tiny720.py
-PRETRAIN_EPOCHS = 2  # r2 measured ~3.7 s/step through the tunnel; at 120
+CROP = int(os.environ.get("PRV3_CROP", 180))  # tiny@720 rate: exp_tiny720.py
+PRETRAIN_EPOCHS = int(os.environ.get("PRV3_PRETRAIN_EPOCHS", 2))
+                     # r2 measured ~3.7 s/step through the tunnel; at 120
                      # objects (64 samples each) 2 epochs sees 3x the total
                      # samples of r2's measured 3-epoch win
-EPOCHS = 40  # with the pretrained encoder r2 converged by epoch 15 of ~2.4
+EPOCHS = int(os.environ.get("PRV3_EPOCHS", 40))
+             # with the pretrained encoder r2 converged by epoch 15 of ~2.4
              # steps each; 40 epochs x ~11 steps is generous headroom
+WS = os.environ.get("PRV3_WS")  # override workspace (CPU dry-runs)
 
 
 def phase_a_labels(cfg, names):
@@ -106,6 +111,23 @@ def phase_a_labels(cfg, names):
     return objects
 
 
+def _jsonable(o):
+    """Recursively convert numpy scalars (incl. dict KEYS — int64 keys make
+    json.dump raise) so the artifact always serializes."""
+    if isinstance(o, dict):
+        return {(int(k) if isinstance(k, np.integer) else k): _jsonable(v)
+                for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_jsonable(v) for v in o]
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    return o
+
+
 def phase_b_dataset(cfg, names):
     from nerf_prv_tpu.pipeline import modes
 
@@ -123,7 +145,7 @@ def phase_b_dataset(cfg, names):
         "distinct_labels": len(set(labels.values())),
     }
     with open(os.path.join(ART, "dataset100_stats.json"), "w") as f:
-        json.dump(artifact, f, indent=1)
+        json.dump(_jsonable(artifact), f, indent=1)
     print(json.dumps({k: v for k, v in artifact.items() if k != "stats"}),
           flush=True)
     return info
@@ -219,6 +241,10 @@ def main():
     args = ap.parse_args()
 
     cfg = pipeline_config()
+    if WS:
+        cfg = cfg.replace(workspace=os.path.join(WS, "ws"),
+                          model_path=os.path.join(WS, "models"),
+                          viewspace_path=os.path.join(WS, "ws", "viewspace"))
     # index-major order (uni0, ell0, ..., fan0, uni1, ...): if the run is
     # cut short, every family is still represented at every completed
     # hardness step, so the dataset stays usable from ~60 objects up
