@@ -27,7 +27,7 @@ import numpy as np
 ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
 ROOT = "/tmp/prv3_prod"
 NAMES = ["uni5", "ell5", "clu5", "cup5", "pla5",
-         "spi5", "van5", "box5", "nos5", "fan5"]
+         "spi5", "van5", "box5", "nos5", "fan5"][: int(os.environ.get("PRV3_PROD_N", 10))]
 
 
 def main():
