@@ -67,27 +67,30 @@ def main():
         label = int(res.gradient_labels[1])
         dt = time.perf_counter() - t0
         objects[name] = {"label": label, "converged": bool(res.converged)}
+        n_units = len(counts) + 1  # mode_instant_ngp also trains+evals 100
         times[name] = {
             "total_s": round(dt, 1),
             "coverage_s": round(t_cov, 1),
             "ngp_sweep_s": round(t_ngp, 1),
-            "s_per_protocol_unit": round(t_ngp / len(counts), 2),
+            "s_per_protocol_unit": round(t_ngp / n_units, 2),
         }
         print(f"[{i+1}/{len(NAMES)}] {name}: label={label} "
               f"({dt:.0f}s, {times[name]['s_per_protocol_unit']}s/unit)",
               flush=True)
         stats = modes.mode_read_label(cfg, list(objects))
         units = [t["s_per_protocol_unit"] for t in times.values()]
+        from exp_dataset100 import _jsonable  # int64 stat keys crash json.dump
+
         with open(out_path, "w") as f:
-            json.dump({
+            json.dump(_jsonable({
                 "camera": "1280x720 inverse-Brown-Conrady (production default)",
                 "n_steps": cfg.n_steps,
-                "view_counts": len(counts),
+                "view_counts": len(counts) + 1,
                 "objects": objects,
                 "seconds": times,
                 "median_s_per_protocol_unit": round(float(np.median(units)), 2),
                 "label_stats_mode5": stats,
-            }, f, indent=1, default=float)
+            }), f, indent=1, default=float)
     print("DONE", flush=True)
 
 

@@ -19,7 +19,7 @@ dB/view) is the SHAPE of the PSNR-vs-views curve:
   curve flattens *early* (measured round 2: checker boxes hit label 27
   with a 19 dB ceiling).
 
-Ten families, 3-letter name prefixes doubling as the dataset's category
+Twelve families, 3-letter name prefixes doubling as the dataset's category
 keys (≙ the 20 ShapeNet class prefixes, main.cpp:2706-2725).  Every
 family exposes a scalar ``hardness`` in [0, 1] that monotonically tunes
 its occlusion/complexity knobs so labels also spread WITHIN a family.
@@ -246,10 +246,13 @@ def van(rng, hardness=0.5, n=120_000):
 
 
 def nos(rng, hardness=0.5, n=100_000):
-    """LOW-label anchor (round-3 pilot2): per-point color noise the 40^3
-    grid cannot represent.  The PSNR ceiling is low and reached within a
-    few views, so the fitted curve flattens almost immediately (same
-    mechanism that put round-2 checker boxes at 27, but stronger).
+    """Per-point color noise the 40^3 grid cannot represent.  DESIGNED as
+    a low-label anchor (low ceiling -> early flattening), but pilot 2
+    MEASURED the opposite: nos0=36, nos7=57 — with heavy noise the fitted
+    lognormal keeps creeping (every view adds a sliver of per-pixel
+    average) and the gradient@0.02 point moves far RIGHT.  Kept as the
+    dataset's HIGH-label tail anchor; the docstring records the measured
+    role, not the design intent (artifacts/label_spread_pilot2.json).
     hardness raises the noise share of the color: h=1 is pure noise."""
     pts = _sphere_points(n, rng, fuzz=0.05)
     smooth = _smooth_colors(pts, rng, freq=1.0).astype(np.float64)
@@ -260,10 +263,14 @@ def nos(rng, hardness=0.5, n=100_000):
 
 
 def fan(rng, hardness=0.5, n=130_000):
-    """HIGH-label anchor: van taken past its measured sweet spot (van h=1
-    scored 34, +11 over h=0 — the strongest upward lever in pilot 1).
-    More, thinner, more twisted vanes sustain the PSNR slope: each view
-    sees into only a narrow azimuth band between blades."""
+    """van taken past its pilot-1 sweet spot (van h=1 scored 34, +11 over
+    h=0).  DESIGNED as the high-label anchor, but pilot 2 MEASURED
+    fan0=34, fan7=25: past a blade-density threshold the grid can only
+    represent the vanes' angular AVERAGE, the ceiling drops, and the
+    curve flattens early — fan's hard end anchors the LOW-mid band
+    instead (artifacts/label_spread_pilot2.json).  Deliberately kept a
+    near-copy of :func:`van` (same rng call order) so the two families'
+    label difference is attributable to the constants alone."""
     k = int(12 + round(8 * hardness))
     per = n // k
     parts, cols = [], []

@@ -75,18 +75,35 @@ def build_hit_pool(rot, org, camera, n_frames=None):
     return pool, n_hit
 
 
-def _sample_batch_pooled(key, pixels_u8, rot, org, camera, n_rays, pool, n_hit):
-    """Draw a ray batch uniformly from the precomputed hit-pixel pool."""
-    kr, kb = jax.random.split(key)
+def _pool_ray_batch(flat_idx, pixels_u8, rot, org, camera):
+    """Decode flat pool indices -> (origins, dirs, rgba).  Shared by the
+    split, fused, and batched-multi-object samplers so their ray/pixel
+    semantics cannot drift apart."""
     n_f, h, w = pixels_u8.shape[:3]
-    r = jax.random.randint(kr, (n_rays,), 0, jnp.maximum(n_hit, 1))
-    flat_idx = pool[r]
     f = flat_idx // (h * w)
     p = flat_idx % (h * w)
     vi, ui = p // w, p % w
     o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
     flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
     rgba = flat[flat_idx].astype(jnp.float32) / 255.0
+    return o, d, rgba
+
+
+def _fused_streams(key, n_rays, n_hit, n_samples):
+    """ONE random.bits dispatch -> (pool index, bg RGB, march jitter).
+    24-bit-mantissa uniforms (jax.random.uniform's construction); modulo
+    index bias < n_hit/2^32."""
+    bits = jax.random.bits(key, (n_rays, 4 + n_samples), dtype=jnp.uint32)
+    r = (bits[:, 0] % jnp.maximum(n_hit, 1).astype(jnp.uint32)).astype(jnp.int32)
+    uni = (bits[:, 1:] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return r, uni[:, :3], uni[:, 3:]
+
+
+def _sample_batch_pooled(key, pixels_u8, rot, org, camera, n_rays, pool, n_hit):
+    """Draw a ray batch uniformly from the precomputed hit-pixel pool."""
+    kr, kb = jax.random.split(key)
+    r = jax.random.randint(kr, (n_rays,), 0, jnp.maximum(n_hit, 1))
+    o, d, rgba = _pool_ray_batch(pool[r], pixels_u8, rot, org, camera)
     bg = jax.random.uniform(kb, (n_rays, 3))
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
     return o, d, target, bg
@@ -101,24 +118,12 @@ def _sample_batch_pooled_fused(
     The split path costs 5-6 separate tiny threefry dispatches per step
     (2 splits + randint + bg uniform + render jitter), measured at ~0.5 ms
     of the 2.8 ms tight step (experiments/exp_step_residue.py) — pure
-    launch overhead on rows this small.  Here ONE ``random.bits`` call
-    yields every stream: column 0 -> ray index (modulo, bias < n_hit/2^32),
-    columns 1-3 -> background RGB, the rest -> per-sample jitter, both as
-    24-bit-mantissa uniforms (the same construction jax.random.uniform
-    uses).  Same distributions, different stream — gate via
-    ``cfg.train_rng`` ("fused") with quality re-validation."""
-    bits = jax.random.bits(key, (n_rays, 4 + n_samples), dtype=jnp.uint32)
-    n_f, h, w = pixels_u8.shape[:3]
-    r = (bits[:, 0] % jnp.maximum(n_hit, 1).astype(jnp.uint32)).astype(jnp.int32)
-    flat_idx = pool[r]
-    f = flat_idx // (h * w)
-    p = flat_idx % (h * w)
-    vi, ui = p // w, p % w
-    o, d = rays_from_pixels(rot, org, camera, f, ui.astype(jnp.float32), vi.astype(jnp.float32))
-    flat = pixels_u8.reshape(n_f * h * w, pixels_u8.shape[3])
-    rgba = flat[flat_idx].astype(jnp.float32) / 255.0
-    uni = (bits[:, 1:] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    bg, jitter = uni[:, :3], uni[:, 3:]
+    launch overhead on rows this small.  ONE ``random.bits`` call yields
+    every stream (see :func:`_fused_streams`).  Same distributions,
+    different stream — gate via ``cfg.train_rng`` ("fused") with quality
+    re-validation."""
+    r, bg, jitter = _fused_streams(key, n_rays, n_hit, n_samples)
+    o, d, rgba = _pool_ray_batch(pool[r], pixels_u8, rot, org, camera)
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
     return o, d, target, bg, jitter
 

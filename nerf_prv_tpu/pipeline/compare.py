@@ -42,10 +42,12 @@ def stat_budgets_from_labels(labels: Dict[str, int]) -> Dict[str, int]:
     if len(vals) == 0:
         return dict(STAT_BUDGETS)
     uniq, counts = np.unique(vals, return_counts=True)
+    # half-away-from-zero rounding (C++ round()), not Python's half-to-even:
+    # a .5 median must not round down on even values
     return {
         "mode": int(uniq[np.argmax(counts)]),
-        "median": int(round(float(np.median(vals)))),
-        "mean": int(round(float(vals.mean()))),
+        "median": int(np.floor(float(np.median(vals)) + 0.5)),
+        "mean": int(np.floor(float(vals.mean()) + 0.5)),
     }
 
 

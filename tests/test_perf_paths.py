@@ -247,3 +247,37 @@ def test_fused_rng_sampler_and_train_step():
     # same loss surface: final plateaus agree within a loose factor
     a, b = losses["split"][-10:].mean(), losses["fused"][-10:].mean()
     assert 0.25 < a / b < 4.0, (a, b)
+
+
+def test_member_loss_fused_matches_plain_semantics():
+    """The batched path's fused branch uses the same one-dispatch sampler as
+    the plain-jit path, so a fused cfg produces a finite member loss and the
+    split/fused branches optimize the same quantity (spot check: both are
+    finite and same order of magnitude on the same scene)."""
+    from nerf_prv_tpu.nerf.batch_train import _member_loss
+    from nerf_prv_tpu.nerf.train import build_hit_pool
+
+    rng = np.random.default_rng(11)
+    h = w = 24
+    n_f = 3
+    views = rng.normal(size=(n_f, 3))
+    views[:, 2] = np.abs(views[:, 2])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+    c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=12.0, ppy=12.0)
+    pool, n_hit = build_hit_pool(rot, org, cam)
+    pixels = jnp.asarray(rng.integers(0, 255, (n_f, h, w, 4)), jnp.uint8)
+
+    cfg_split = dataclasses.replace(TINY, n_samples=8, train_rays=128, train_coarse=0)
+    cfg_fused = dataclasses.replace(cfg_split, train_rng="fused")
+    params = init_params(jax.random.PRNGKey(0), cfg_split)
+    losses = {}
+    for name, cfg in (("split", cfg_split), ("fused", cfg_fused)):
+        l = _member_loss(params, pixels, rot, org, jnp.int32(n_f), cam, cfg,
+                         jax.random.PRNGKey(3), pool=pool, pool_n=n_hit)
+        losses[name] = float(l)
+        assert np.isfinite(losses[name]) and losses[name] > 0
+    ratio = losses["split"] / losses["fused"]
+    assert 0.2 < ratio < 5.0, losses
