@@ -69,7 +69,7 @@ def make_scenes(cam):
                 rgba = rgba_from_render(rgb, alpha)
                 Image.fromarray(rgba, "RGBA").save(
                     os.path.join(sub, f"rgbaClip_{i}.png"))
-                add_frame(root, os.path.join(name, f"rgbaClip_{i}"), c2w)
+                add_frame(root, os.path.join(name, f"rgbaClip_{i}.png"), c2w)
             write_transforms(os.path.join(thin_dir, f"{name}.json"), root)
     scenes["thin"] = (train_js, os.path.join(thin_dir, "test.json"))
     return scenes

@@ -46,6 +46,11 @@ class RayDataset:
 def _load_png_rgba(path: str) -> np.ndarray:
     from PIL import Image
 
+    if not os.path.exists(path) and not os.path.splitext(path)[1]:
+        # instant-ngp's loader appends ".png" to extensionless file_path
+        # entries (the NeRF-synthetic/Blender convention, e.g. "train/r_0");
+        # accept both spellings (≙ Instantngp_scripts/run.py dataset inputs).
+        path = path + ".png"
     img = Image.open(path).convert("RGBA")
     return np.asarray(img, dtype=np.float32) / 255.0
 

@@ -87,6 +87,26 @@ def test_render_rays_ranges():
     assert float(alpha.min()) >= 0.0 and float(alpha.max()) <= 1.0 + 1e-5
 
 
+def test_load_dataset_extensionless_file_path(tmp_path):
+    """instant-ngp accepts extensionless transforms.json file_path entries
+    (the NeRF-synthetic "train/r_0" convention) by appending ".png"; the
+    loader must accept both spellings."""
+    import json
+
+    train_json, _, _, _ = write_scene(str(tmp_path), n_train=2, n_test=1)
+    with open(train_json) as f:
+        root = json.load(f)
+    assert all(fr["file_path"].endswith(".png") for fr in root["frames"])
+    for fr in root["frames"]:
+        fr["file_path"] = fr["file_path"][: -len(".png")]
+    bare_json = str(tmp_path / "train_bare.json")
+    with open(bare_json, "w") as f:
+        json.dump(root, f)
+    a = load_dataset(train_json)
+    b = load_dataset(bare_json)
+    np.testing.assert_array_equal(a.pixels, b.pixels)
+
+
 def test_psnr_ssim_basics():
     img = jnp.zeros((32, 32, 3)) + 0.5
     assert float(psnr(img, img)) > 100
