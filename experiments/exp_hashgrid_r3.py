@@ -85,11 +85,19 @@ def main():
     )
     scenes = make_scenes(cam)
 
+    # resume: keep entries already measured (the voxel half survived the
+    # round-3 hash TPU fault — no need to re-spend its 7 min of chip time)
+    art_path = os.path.join(ART, "hashgrid_r3.json")
     results = {}
+    if os.path.exists(art_path):
+        with open(art_path) as f:
+            results = json.load(f)
     for field in ("voxel", "hash"):
         cfg = NerfConfig(field_impl=field)
         for scene, (train_js, test_js) in scenes.items():
             for seed in (0, 1):
+                if f"{field}/{scene}/s{seed}" in results:
+                    continue
                 t0 = time.perf_counter()
                 params, losses = train_nerf(train_js, cfg, seed=seed)
                 t_train = time.perf_counter() - t0

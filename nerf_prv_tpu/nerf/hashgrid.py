@@ -98,7 +98,12 @@ def encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarr
     feats = []
     for level, res in enumerate(resolutions):
         pos = x * res
-        cell = jnp.floor(pos).astype(jnp.int32)
+        # clamp to the last cell so boundary samples (x == 1.0) interpolate
+        # within the grid (frac == 1.0) instead of indexing corner res+1 —
+        # out of the (res+1)^3 dense range.  XLA silently clamps that
+        # gather (masking the bug as slight boundary aliasing); Mosaic's
+        # dynamic take in the Pallas kernel has no such safety net.
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, int(res) - 1)
         frac = pos - cell
         acc = jnp.zeros((x.shape[0], cfg.features), table.dtype)
         base = level * cfg.table_size

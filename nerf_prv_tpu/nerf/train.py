@@ -243,7 +243,7 @@ def train(
     dataset: RayDataset,
     cfg: Optional[NerfConfig] = None,
     seed: int = 0,
-    chunk_steps: int = 500,
+    chunk_steps: Optional[int] = None,
     init_from: Optional[dict] = None,
 ) -> Tuple[dict, np.ndarray]:
     """Train a NeRF on a loaded dataset; returns (params, per-step losses).
@@ -253,8 +253,23 @@ def train(
     init; the flat warmup phase is skipped since geometry already exists.
     The tree is copied on entry — train_chunk donates its params/opt
     buffers, so the caller's copy stays valid.
+
+    ``chunk_steps`` defaults per field: 500 for the voxel flagship
+    (1.4 s/invocation), 5 for the hash field.  The axon tunnel kills the
+    TPU worker when ONE XLA execution exceeds ~60 s wall (measured bracket:
+    52 s survives, 78 s faults — experiments/exp_exec_watchdog.py).  A
+    hash warmup step sorts ~25M gather rows in the backward; a 125-step
+    scan in one invocation is far over the limit, and a 25-step chunk
+    still faulted once (so the step is ~2-2.5 s, not the ~0.9 s first
+    estimated).  5 steps bounds the worst observed cost at ~12 s per
+    execution; the per-chunk host sync (~10-30 ms over the tunnel) is
+    noise next to the step itself.  5 divides both the 125-step warmup
+    and the 2375-step tight phase, so the hash field still compiles one
+    program per phase.
     """
     cfg = cfg or NerfConfig()
+    if chunk_steps is None:
+        chunk_steps = 500 if cfg.field_impl == "voxel" else 5
     if cfg.n_steps <= chunk_steps:
         chunk_steps = cfg.n_steps  # single compile for short runs
     key = jax.random.PRNGKey(seed)

@@ -38,7 +38,10 @@ def _encode_kernel(res_ref, x_ref, table_ref, out_ref, *, table_size: int, featu
     dense = ((res + 1) * (res + 1) * (res + 1)) <= table_size
     x = x_ref[...]  # (B, 3)
     pos = x * res_f
-    cell_i = jnp.floor(pos).astype(jnp.int32)
+    # boundary clamp (see hashgrid.encode): without it a sample at x == 1.0
+    # makes corner index res+1 — OOB for dense levels; Mosaic's dynamic
+    # take has no XLA-style clamping, so the read is undefined
+    cell_i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
     frac = pos - cell_i.astype(jnp.float32)
     cell = cell_i.astype(jnp.uint32)
     table = table_ref[0]  # (T, F) in VMEM

@@ -30,7 +30,9 @@ def _levelwise_indices_weights(x: jnp.ndarray, cfg: HashGridConfig):
     idx_all, w_all = [], []
     for level, res in enumerate(cfg.resolutions()):
         pos = x * res
-        cell = jnp.floor(pos).astype(jnp.int32)
+        # same boundary clamp as hashgrid.encode — keeps backward indices
+        # identical to the forward gather's
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, int(res) - 1)
         frac = pos - cell
         cpos = cell[:, None, :] + corners[None, :, :]
         idx = _corner_indices(cpos, int(res), cfg.table_size) + level * cfg.table_size
@@ -63,16 +65,23 @@ def segmented_scatter_add(indices: jnp.ndarray, updates: jnp.ndarray, n_rows: in
         (prev_last >= 0)[:, None], csum[jnp.maximum(prev_last, 0)], 0.0
     )
     run_totals = csum - prev_csum
-    # duplicates scatter to a dummy row -> all real indices are unique
+    # duplicates scatter OUT of bounds and are dropped, so every index that
+    # actually writes is unique — the same pattern as train.build_hit_pool's
+    # iota scatter.  An earlier version kept the sentinel row IN bounds at
+    # ``n_rows`` in a (n_rows+1, f) output with ``indices_are_sorted=True``
+    # as well — both promises were false (sentinels repeat and interleave
+    # among the sorted run-ends), which is undefined behavior for the XLA
+    # scatter lowering.  (The round-3 hash train crash initially blamed on
+    # this turned out to be the axon execution watchdog — see
+    # experiments/exp_exec_watchdog.py — but the UB stays fixed.)
     scatter_idx = jnp.where(is_last, sidx, n_rows)
-    out = jnp.zeros((n_rows + 1, f), updates.dtype)
+    out = jnp.zeros((n_rows, f), updates.dtype)
     out = out.at[scatter_idx].add(
         jnp.where(is_last[:, None], run_totals, 0.0),
-        indices_are_sorted=True,
         unique_indices=True,
         mode="drop",
     )
-    return out[:n_rows]
+    return out
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
