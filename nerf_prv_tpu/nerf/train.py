@@ -333,9 +333,16 @@ def train(
                 params, opt_state, kc, pixels_u8, rot, org, dataset.camera,
                 phase_cfg, n, n_frames, pool, pool_n
             )
-            losses.append(np.asarray(chunk_losses))
+            # keep chunk losses ON DEVICE: converting here would block on a
+            # ~29 ms tunnel readback per chunk boundary (72 ms with the
+            # dispatch gap), serializing chunks that otherwise pipeline
+            # asynchronously — at hash's chunk_steps=5 that is ~36 s of pure
+            # host-sync overhead per 2,500-step fit
+            losses.append(chunk_losses)
             steps_left -= n
-    all_losses = np.concatenate(losses) if losses else np.zeros(0)
+    all_losses = (
+        np.concatenate([np.asarray(c) for c in losses]) if losses else np.zeros(0)
+    )
     if all_losses.size and not np.isfinite(all_losses[-min(100, all_losses.size):]).all():
         # console-print QC in the reference's style (SURVEY.md §4): a
         # diverged fit would otherwise silently poison the PSNR curve and
