@@ -123,14 +123,23 @@ class NerfConfig:
     # training
     train_rays: int = 4096
     # per-step RNG strategy: "split" draws each stream (ray index, bg
-    # color, stratified jitter) through its own key split — 5-6 tiny
-    # threefry dispatches per step; "fused" derives all of them from ONE
-    # random.bits call (exp_step_residue measured the split-path sampling
-    # at ~0.5 ms of the 2.8 ms step — launch-bound, not compute-bound).
-    # Same distributions (24-bit mantissa uniforms, modulo index), but a
-    # different random stream — flip only with quality gates re-run
-    # (experiments/exp_fused_rng.py)
+    # color, stratified jitter) through its own key-split derivation; on
+    # the pooled path (bound="sphere", n_importance=0) the whole
+    # derivation is HOISTED out of the training scan into one batched
+    # dispatch — bit-identical stream, none of the 5-6 tiny per-step
+    # threefry kernels (exp_step_residue measured those at ~0.5 ms of the
+    # 2.8 ms step — launch-bound, not compute-bound).  "split_inloop"
+    # forces the original in-loop derivation (the identity oracle for
+    # tests/test_perf_paths.py::test_hoisted_rng_bit_identical).  "fused"
+    # derives all streams from ONE random.bits call — same distributions
+    # (24-bit mantissa uniforms, modulo index) but a DIFFERENT stream; it
+    # failed the worst-seed quality gate by 0.05-0.09 dB
+    # (experiments/exp_fused_rng.py) and stays opt-in.
     train_rng: str = "split"
+    # lax.scan unroll factor for the training loop — semantically identical
+    # (same step math, same stream); >1 lets XLA schedule adjacent steps'
+    # small kernels together.  Measured on v5e (exp_scan_unroll.py).
+    train_scan_unroll: int = 1
     # sample this multiple of train_rays candidate pixels per step and keep
     # the bounding-sphere hits (1 = disabled); see train._sample_batch
     train_hit_oversample: int = 4

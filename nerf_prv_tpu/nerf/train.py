@@ -128,6 +128,67 @@ def _sample_batch_pooled_fused(
     return o, d, target, bg, jitter
 
 
+def _hoisted_split_streams(keys, n_rays, n_hit, n_samples):
+    """Batch-generate the split path's per-step random streams in ONE
+    dispatch, bit-identical to the in-loop derivation.
+
+    The split path's sampling block costs ~0.69 ms of the 2.8 ms tight step
+    (artifacts/step_residue.json) — 5-6 tiny threefry kernels re-launched
+    every scan iteration.  The "fused" variant removed the launches but
+    CHANGED the stream and failed the worst-seed quality gate by 0.05-0.09 dB
+    (artifacts/fused_rng.json).  This path removes the launches while keeping
+    the stream: it vmaps the *same* pure split/randint/uniform derivation
+    chain over the per-step keys —
+
+        ks, km = split(k_i);  kr, kb = split(ks)
+        r  = randint(kr, (n_rays,), 0, max(n_hit, 1))     (pool index)
+        bg = uniform(kb, (n_rays, 3))                     (background)
+        kj = split(km)[1];  jitter = uniform(kj, (n_rays, n_samples))
+
+    — so every value equals what the in-loop path (train_rng="split_inloop")
+    would draw at the same step, and the round-2 quality numbers transfer
+    verbatim (asserted by tests/test_perf_paths.py::test_hoisted_rng_bit_identical).
+
+    The three streams are PACKED into one (n_steps, n_rays, 4+n_samples)
+    block so the scan reads them through ONE dynamic-slice per step.
+    Measured on v5e: handing the scan three separate xs arrays re-spent the
+    saved launches on three per-iteration slice kernels (tight step
+    2.764 ms — no gain over the in-loop 2.759); the packed form is one
+    slice (exp_hoisted_rng.py).  The pack dtype is uint32, NOT f32: small
+    int32 pool indices bitcast into f32 lanes are denormal bit patterns,
+    and the TPU's f32 data paths flush denormals to zero — every ray
+    silently sampled pool[0] and full fits collapsed to ~19 dB (the CPU
+    identity test can't see it; the on-chip gate run did).  Integer lanes
+    are never flushed; bg/jitter travel as their f32 bit patterns and are
+    bitcast back at the consumer.
+    HBM cost: ~165 MB per 500-step tight chunk / ~98 MB per 125-step warmup
+    chunk — two passes (write + scan read) ≈ 0.4 ms amortized, against
+    ~0.3-0.7 ms/step of launch overhead removed."""
+    ks_km = jax.vmap(jax.random.split)(keys)
+    kr_kb = jax.vmap(jax.random.split)(ks_km[:, 0])
+    nh = jnp.maximum(n_hit, 1)
+    r = jax.vmap(lambda k: jax.random.randint(k, (n_rays,), 0, nh))(kr_kb[:, 0])
+    bg = jax.vmap(lambda k: jax.random.uniform(k, (n_rays, 3)))(kr_kb[:, 1])
+    kj = jax.vmap(jax.random.split)(ks_km[:, 1])[:, 1]
+    jitter = jax.vmap(lambda k: jax.random.uniform(k, (n_rays, n_samples)))(kj)
+    packed = jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(r, jnp.uint32)[..., None],
+            jax.lax.bitcast_convert_type(bg, jnp.uint32),
+            jax.lax.bitcast_convert_type(jitter, jnp.uint32),
+        ],
+        axis=-1,
+    )
+    return packed
+
+
+def _unpack_hoisted(x):
+    """(n_rays, 4+n_samples) packed uint32 block -> (pool index, bg, jitter)."""
+    r = jax.lax.bitcast_convert_type(x[:, 0], jnp.int32)
+    f = jax.lax.bitcast_convert_type(x[:, 1:], jnp.float32)
+    return r, f[:, :3], f[:, 3:]
+
+
 def _sample_batch(key, pixels_u8, rot, org, camera, n_rays, oversample=1, n_frames=None):
     kf, ku, kv, kb = jax.random.split(key, 4)
     n_f, h, w = pixels_u8.shape[:3]
@@ -189,7 +250,24 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
     if use_baked:
         from .voxelfield import lattice_corner_raw
 
-    def loss_fn(p, key, probe_raw):
+    # the default pooled path hoists its per-step RNG out of the scan
+    # (bit-identical stream, one dispatch — see _hoisted_split_streams);
+    # "split_inloop" keeps the in-loop derivation for the identity test
+    hoist = (
+        pool is not None
+        and cfg.train_rng == "split"
+        and cfg.n_importance == 0
+    )
+
+    def loss_fn(p, inp, probe_raw):
+        if hoist:
+            r, bg, jitter = _unpack_hoisted(inp)
+            o, d, rgba = _pool_ray_batch(pool[r], pixels_u8, rot, org, camera)
+            target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+            rgb, acc = render_rays(p, o, d, cfg, jitter=jitter,
+                                   probe_raw=probe_raw)
+            return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
+        key = inp
         if pool is not None and cfg.train_rng == "fused":
             o, d, target, bg, jitter = _sample_batch_pooled_fused(
                 key, pixels_u8, rot, org, camera, cfg.train_rays, pool,
@@ -211,16 +289,16 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
         rgb, acc = render_rays(p, o, d, cfg, key=km, probe_raw=probe_raw)
         return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
 
-    def step(carry, inp):
+    def step(carry, xs):
         p, s, praw = carry
-        key, i = inp
+        inp, i = xs
         if use_baked:
             praw = jax.lax.cond(
                 i % cfg.train_probe_refresh == 0,
                 lambda: lattice_corner_raw(p, cfg).astype(jnp.bfloat16),
                 lambda: praw,
             )
-        loss, grads = jax.value_and_grad(loss_fn)(p, key, praw)
+        loss, grads = jax.value_and_grad(loss_fn)(p, inp, praw)
         updates, s = opt.update(grads, s, p)
         p = optax.apply_updates(p, updates)
         return (p, s, praw), loss
@@ -232,9 +310,16 @@ def train_chunk(params, opt_state, key, pixels_u8, rot, org, camera, cfg: NerfCo
     else:
         praw0 = None
     keys = jax.random.split(key, n_steps)
+    if hoist:
+        inp = _hoisted_split_streams(
+            keys, cfg.train_rays, pool_n, cfg.n_samples
+        )
+    else:
+        inp = keys
     steps = jnp.arange(n_steps, dtype=jnp.int32)
     (params, opt_state, _), losses = jax.lax.scan(
-        step, (params, opt_state, praw0), (keys, steps)
+        step, (params, opt_state, praw0), (inp, steps),
+        unroll=cfg.train_scan_unroll,
     )
     return params, opt_state, losses
 

@@ -249,6 +249,83 @@ def test_fused_rng_sampler_and_train_step():
     assert 0.25 < a / b < 4.0, (a, b)
 
 
+def test_hoisted_rng_bit_identical():
+    """The default pooled path hoists the split-RNG derivation out of the
+    training scan (one batched dispatch).  The random STREAM must be
+    bit-identical to the in-loop oracle (train_rng="split_inloop") — that is
+    what distinguishes this from the gate-failing "fused" rework — and the
+    end-to-end fits must agree to fusion-rounding precision (the two
+    variants compile to different programs, so XLA's fusion choices can
+    round differently at ~1e-7 relative; step-0 losses still come out
+    bit-equal, later steps accumulate the rounding).  The on-chip quality
+    gates were additionally re-run on the hoisted path
+    (experiments/exp_hoisted_rng.py)."""
+    from nerf_prv_tpu.nerf.train import (
+        _hoisted_split_streams, _unpack_hoisted, build_hit_pool,
+        make_optimizer, train_chunk,
+    )
+
+    rng = np.random.default_rng(13)
+    h = w = 24
+    n_f = 3
+    views = rng.normal(size=(n_f, 3))
+    views[:, 2] = np.abs(views[:, 2])
+    views /= np.linalg.norm(views, axis=1, keepdims=True)
+    c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+    rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+    org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=12.0, ppy=12.0)
+    pool, n_hit = build_hit_pool(rot, org, cam)
+    pixels = jnp.asarray(rng.integers(0, 255, (n_f, h, w, 4)), jnp.uint8)
+
+    # stream identity: the batched derivation equals the per-step one
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    packed = _hoisted_split_streams(keys, 64, n_hit, 8)
+    assert packed.shape == (4, 64, 4 + 8)
+    # MUST be an integer pack: f32 lanes holding small bitcast indices are
+    # denormals, which TPU f32 data paths flush to zero (pool[0] collapse)
+    assert packed.dtype == jnp.uint32
+    r_all, bg_all, jit_all = jax.vmap(_unpack_hoisted)(packed)
+    for i in range(4):
+        ks, km = jax.random.split(keys[i])
+        kr, kb = jax.random.split(ks)
+        np.testing.assert_array_equal(
+            np.asarray(r_all[i]),
+            np.asarray(jax.random.randint(kr, (64,), 0, jnp.maximum(n_hit, 1))),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bg_all[i]), np.asarray(jax.random.uniform(kb, (64, 3)))
+        )
+        kj = jax.random.split(km)[1]
+        np.testing.assert_array_equal(
+            np.asarray(jit_all[i]), np.asarray(jax.random.uniform(kj, (64, 8)))
+        )
+
+    # end-to-end identity through the scan, on both the flat-march
+    # (train_coarse=0, warmup-like) and probe-tightened (production) shapes
+    for coarse in (0, 4):
+        cfg_h = dataclasses.replace(
+            TINY, n_samples=8, train_rays=128, train_coarse=coarse
+        )
+        cfg_o = dataclasses.replace(cfg_h, train_rng="split_inloop")
+        outs = {}
+        for name, cfg in (("hoist", cfg_h), ("inloop", cfg_o)):
+            params = init_params(jax.random.PRNGKey(0), cfg)
+            opt_state = make_optimizer(cfg).init(params)
+            p, _, ls = train_chunk(
+                params, opt_state, jax.random.PRNGKey(1), pixels, rot, org,
+                cam, cfg, 20, None, pool, n_hit,
+            )
+            outs[name] = (jax.tree.map(np.asarray, p), np.asarray(ls))
+        a, b = outs["hoist"][1], outs["inloop"][1]
+        assert a[0] == b[0], (a[0], b[0])  # identical stream -> bit-equal start
+        np.testing.assert_allclose(a, b, rtol=1e-4)
+        for k in outs["hoist"][0]:
+            np.testing.assert_allclose(
+                outs["hoist"][0][k], outs["inloop"][0][k], rtol=1e-3, atol=1e-4
+            )
+
+
 def test_member_loss_fused_matches_plain_semantics():
     """The batched path's fused branch uses the same one-dispatch sampler as
     the plain-jit path, so a fused cfg produces a finite member loss and the
