@@ -1,0 +1,297 @@
+#!/usr/bin/env python3
+"""Round-4 dataset scale-up + mode-7 test-pool labeling.
+
+VERDICT r3 "What's missing #1" / next-steps #4-#5: the labeled corpus must
+grow beyond 120 objects and mode-7 must run at >=100 held-out,
+val-distribution-matched objects.  This driver:
+
+  Phase R  regenerates the ROUND-3 corpus's images (the /tmp workspace does
+           not survive rounds; objects are deterministic — families.py seeds
+           the rng from the object name — so the PLYs and coverage renders
+           reproduce exactly).  Labels are NOT recomputed: they are reused
+           from the committed round-3 artifact (dataset100_labels.json),
+           which is the honest record of the measured protocol.
+  Phase A  labels NEW objects (families indices 10..19, index-major) through
+           the identical round-3 protocol (320x180, n_steps=1200, counts
+           3..47 step 4 + 100, gradient@0.02) until PRV4_DEADLINE_MIN of
+           wall clock is spent — every object flushes incrementally, so a
+           truncated run still yields a usable pool.
+  Phase B  assembles the expanded pvb_dataset: the new labeled objects that
+           match_distribution selects as the mode-7 test set are EXCLUDED
+           from train/val (no leakage); the round-3 val split is kept FIXED
+           so predictor metrics stay comparable across rounds; every other
+           new object joins train.
+
+Artifacts: dataset300_labels.json (phase A), dataset300_stats.json (phase B,
+incl. the frozen mode-7 test roster consumed by exp_mode7_r4.py).
+
+  nohup python -u experiments/exp_dataset300.py > /tmp/dataset300.log 2>&1 &
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from exp_label_spread import ROOT, pipeline_config
+
+ART = os.environ.get(
+    "PRV4_ART",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+# stop labeling new objects once this much wall clock is spent in phase A
+DEADLINE_MIN = float(os.environ.get("PRV4_DEADLINE_MIN", 255))
+NEW_INDICES = range(10, 20)   # 12 families x 10 new objects = 120 candidates
+N_TEST = int(os.environ.get("PRV4_N_TEST", 100))
+LEGACY_LABELS = os.path.join(ART, "dataset100_labels.json")
+LEGACY_STATS = os.path.join(ART, "dataset100_stats.json")
+
+
+def legacy_corpus():
+    with open(LEGACY_LABELS) as f:
+        objs = json.load(f)["objects"]
+    with open(LEGACY_STATS) as f:
+        val = json.load(f)["val"]
+    return objs, val
+
+
+def new_roster():
+    from families import FAMILIES
+
+    return [f"{fam}{i}" for i in NEW_INDICES for fam in FAMILIES]
+
+
+def _pvb_cfg(cfg):
+    """The PVB input spaces (64-view dataset images, 5-view infer images)
+    ALSO render at the PRODUCTION camera (1280x720) into ``<gt_path>/hd/``
+    so CenterCrop(720) sees the reference's image geometry
+    (≙ train_regression.py:497-505, infer_server.py:47-50).  The reduced
+    320x180 sets keep their round-3 paths: the atto@180 scaling-curve
+    retrains stay byte-comparable with round 3, while tiny@720 (the
+    reference config) consumes the hd set."""
+    from nerf_prv_tpu.core.config import CameraConfig
+
+    return cfg.replace(camera=CameraConfig())
+
+
+def _render_pvb_sets(scene, obj_cfg):
+    from nerf_prv_tpu.pipeline.coverage import get_coverage
+
+    get_coverage(scene, obj_cfg, 64)   # qcam (round-3 protocol, atto arm)
+    get_coverage(scene, obj_cfg, 5)
+    hd_cfg = _pvb_cfg(obj_cfg)
+    hd = os.path.join(obj_cfg.gt_path, "hd")
+    get_coverage(scene, hd_cfg, 64, gt_path=hd)   # 1280x720 (tiny@720 arm)
+    get_coverage(scene, hd_cfg, 5, gt_path=hd)
+
+
+def phase_r_regen(cfg, names):
+    """PLY + 64-view (dataset) + 5-view (infer) coverage for legacy objects."""
+    from families import make_family_object
+    from nerf_prv_tpu.pipeline import modes
+    from nerf_prv_tpu.scene.object_setup import load_object
+
+    model_dir = os.path.join(ROOT, "models", "ShapeNet")
+    counts = [n for n in modes._coverage_counts(cfg) if n != 100]
+    modes.mode_view_cover(cfg, sizes=counts + [5, 64, 100])
+    t0 = time.perf_counter()
+    for i, name in enumerate(names):
+        make_family_object(name, model_dir)
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        scene = load_object(obj_cfg, name)
+        if not scene.ok:
+            print(f"[regen] {name}: load FAILED", flush=True)
+            continue
+        _render_pvb_sets(scene, obj_cfg)
+        if (i + 1) % 20 == 0:
+            print(f"[regen] {i+1}/{len(names)} "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    print(f"[regen] done {len(names)} in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+
+
+def phase_a_labels(cfg, names, deadline_min):
+    """Round-3 label protocol for new objects, deadline-bounded."""
+    from families import make_family_object
+    from nerf_prv_tpu.labeling.labels import parse_label_file
+    from nerf_prv_tpu.nerf import NerfConfig
+    from nerf_prv_tpu.pipeline import modes
+    from nerf_prv_tpu.scene.object_setup import load_object
+
+    model_dir = os.path.join(ROOT, "models", "ShapeNet")
+    counts = [n for n in modes._coverage_counts(cfg) if n != 100]
+    modes.mode_view_cover(cfg, sizes=counts + [5, 64, 100])
+
+    out_path = os.path.join(ART, "dataset300_labels.json")
+    objects, times = {}, {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        objects = prev.get("objects", {})
+        times = prev.get("seconds_per_object", {})
+
+    nerf_cfg = NerfConfig(n_steps=cfg.n_steps)
+    t_start = time.perf_counter()
+    for i, name in enumerate(names):
+        if name not in objects and \
+                (time.perf_counter() - t_start) / 60.0 > deadline_min:
+            print(f"[labels] deadline after {len(objects)} objects", flush=True)
+            break
+        t0 = time.perf_counter()
+        make_family_object(name, model_dir)
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        label_path = os.path.join(obj_cfg.gt_path, "label.txt")
+        fresh = name not in objects
+        modes.mode_get_coverage(cfg, [name])
+        scene = load_object(obj_cfg, name)
+        if scene.ok:
+            _render_pvb_sets(scene, obj_cfg)
+        modes.mode_instant_ngp(cfg, [name], nerf_cfg=nerf_cfg)
+        modes.mode_fit_labels(cfg, [name])
+        res = parse_label_file(label_path)
+        label = int(res.gradient_labels[1])  # gradient@0.02 (≙ main.cpp:2641)
+        objects[name] = {"label": label, "converged": bool(res.converged)}
+        dt = round(time.perf_counter() - t0, 1)
+        if fresh:
+            times[name] = dt
+        print(f"[{i+1}/{len(names)}] {name}: label={label} "
+              f"converged={res.converged} ({dt}s)", flush=True)
+        fresh_times = [t for t in times.values() if t > 5]
+        artifact = {
+            "objects": objects,
+            "n_done": len(objects),
+            "distinct_labels": sorted({o["label"] for o in objects.values()
+                                       if o["label"] > 0}),
+            "seconds_per_object_median": (round(float(np.median(fresh_times)), 1)
+                                          if fresh_times else None),
+            "seconds_per_object": times,
+        }
+        os.makedirs(ART, exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1)
+    return objects
+
+
+def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
+    """Expanded dataset: legacy split kept, new minus the mode-7 test set."""
+    from nerf_prv_tpu.labeling.dataset import (
+        MAX_VIEWS, MIN_VIEWS, build_dataset,
+    )
+    from nerf_prv_tpu.labeling.labels import (
+        LabelResult, N_GAPS, N_GRADIENTS, X_EVAL,
+    )
+    from nerf_prv_tpu.pipeline.compare import match_distribution
+
+    def usable(objs):
+        return {n: o["label"] for n, o in objs.items()
+                if o["converged"] and MIN_VIEWS <= o["label"] <= MAX_VIEWS}
+
+    legacy_lab = usable(legacy)
+    new_lab = usable(new_objects)
+    val_labels = {n: legacy_lab[n] for n in legacy_val if n in legacy_lab}
+
+    # frozen mode-7 roster: new objects matched to the FIXED r3 val split
+    test = sorted(match_distribution(val_labels, new_lab, n_test=N_TEST,
+                                     seed=cfg.seed))
+    train_new = sorted(set(new_lab) - set(test))
+
+    # reconstruct minimal LabelResults: only converged + gradient[1] feed
+    # select_labels/build_dataset; curves are not used downstream here
+    def as_result(label, converged):
+        grads = np.full(N_GRADIENTS, -1, dtype=np.int64)
+        grads[1] = label
+        return LabelResult(converged, np.zeros(len(X_EVAL)),
+                           np.full(N_GAPS, -1, dtype=np.int64), grads)
+
+    ds_names = sorted(legacy_lab) + train_new
+    results = [as_result(legacy_lab.get(n, new_lab.get(n)), True)
+               for n in ds_names]
+    coverage_root = os.path.dirname(cfg.replace(name_of_pcd="x").gt_path)
+    info = build_dataset(cfg.workspace, ds_names, results,
+                         coverage_root=coverage_root, seed=cfg.seed,
+                         split="holdout")
+    # pin the r3 val split (comparability across rounds); everything else
+    # in the dataset is train
+    ds_root = os.path.join(cfg.workspace, "pvb_dataset")
+    val = sorted(n for n in legacy_val if n in info["labels"])
+    train = sorted(set(info["labels"]) - set(val))
+    with open(os.path.join(ds_root, "train_split.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(os.path.join(ds_root, "val_split.txt"), "w") as f:
+        f.write("\n".join(val) + "\n")
+
+    # parallel hd dataset (1280x720 images) for the tiny@720 reference
+    # config: same names, same labels, same split files
+    import shutil
+
+    hd_root = os.path.join(cfg.workspace, "pvb_dataset_hd")
+    for name, label in info["labels"].items():
+        obj_dir = os.path.join(hd_root, name)
+        os.makedirs(obj_dir, exist_ok=True)
+        src_dir = os.path.join(coverage_root, name, "hd", "64")
+        for j in range(64):
+            src = os.path.join(src_dir, f"rgbaClip_{j}.png")
+            dst = os.path.join(obj_dir, f"rgbaClip_{j}.png")
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.link(src, dst)  # hardlink: zero extra bytes
+        with open(os.path.join(obj_dir, "view_budget.txt"), "w") as f:
+            f.write(str(label))
+    for split_file in ("train_split.txt", "val_split.txt", "names_all.txt"):
+        shutil.copyfile(os.path.join(ds_root, split_file),
+                        os.path.join(hd_root, split_file))
+
+    all_labels = {**legacy_lab, **new_lab}
+    vals = np.array(sorted(all_labels.values()))
+    uniq, cnt = np.unique(vals, return_counts=True)
+    artifact = {
+        "n_corpus": len(all_labels),
+        "n_legacy": len(legacy_lab),
+        "n_new": len(new_lab),
+        "n_train": len(train),
+        "n_val": len(val),
+        "n_test": len(test),
+        "test": test,
+        "val": val,
+        "label_mean": round(float(vals.mean()), 2),
+        "label_std": round(float(vals.std(ddof=1)), 2),
+        "label_min": int(vals.min()),
+        "label_max": int(vals.max()),
+        "distinct_labels": int(len(uniq)),
+        "label_distribution": {int(u): int(c) for u, c in zip(uniq, cnt)},
+        "stat_budgets_val": None,  # filled by exp_mode7_r4
+    }
+    with open(os.path.join(ART, "dataset300_stats.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items()
+                      if k not in ("test", "val", "label_distribution")}),
+          flush=True)
+    return artifact
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all", choices=["r", "a", "b", "all"])
+    args = ap.parse_args()
+
+    cfg = pipeline_config()
+    legacy, legacy_val = legacy_corpus()
+    if args.phase in ("r", "all"):
+        phase_r_regen(cfg, sorted(legacy))
+    new_objects = {}
+    if args.phase in ("a", "all"):
+        new_objects = phase_a_labels(cfg, new_roster(), DEADLINE_MIN)
+    if args.phase in ("b", "all"):
+        if not new_objects:
+            with open(os.path.join(ART, "dataset300_labels.json")) as f:
+                new_objects = json.load(f)["objects"]
+        phase_b_dataset(cfg, legacy, legacy_val, new_objects)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

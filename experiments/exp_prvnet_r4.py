@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Round-4 PRVNet training: the REFERENCE configuration + the scaling curve.
+
+VERDICT r3 next-steps #3-#4:
+
+  --phase tiny   ConvNeXtV2-tiny @ CenterCrop(720), EFFECTIVE batch 64 via
+                 8x gradient accumulation (micro-batch 8, the measured
+                 compile-safe size — artifacts/tiny720.json), two-stage
+                 (single-view pretrain -> encoder-init regression), trained
+                 to convergence on the hd (1280x720) dataset
+                 (≙ train_regression.py:258-260,497-500 exactly).
+  --phase atto   the round-3 recipe (atto@180, qcam images) re-run on the
+                 EXPANDED train split with the SAME fixed val set, so val
+                 L1/accuracy are directly comparable across dataset scales:
+                 r2 24 objects -> r3 86 train (L1 2.93, corr 0.73) -> r4.
+
+Artifacts: prvnet_tiny720.json + prvnet_tiny720_ckpt/ (phase tiny),
+prvnet_scaling.json + prvnet_r4_ckpt/ (phase atto).
+
+  nohup python -u experiments/exp_prvnet_r4.py --phase tiny > /tmp/tiny720_train.log 2>&1 &
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from exp_label_spread import ROOT
+
+ART = os.environ.get(
+    "PRV4_ART",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+
+
+def _val_metrics(tcfg, ckpt_dir, ds_root, val_split, pattern, mesh):
+    """Per-object val predictions + corr/spread (the r3 kill criteria)."""
+    from nerf_prv_tpu.parallel.mesh import pad_to_multiple
+    from nerf_prv_tpu.prvnet.data import PVBDataset
+    from nerf_prv_tpu.prvnet.train import (
+        init_model, load_checkpoint, make_eval_step,
+    )
+
+    best_params, _ = load_checkpoint(
+        os.path.join(ckpt_dir, "best_checkpoint.msgpack"))
+    model, _ = init_model(tcfg, len(pattern), image_size=64)
+    predict = make_eval_step(model, tcfg, mesh)
+    ds = PVBDataset(ds_root, val_split, pattern, crop=tcfg.image_size)
+    n_dev = mesh.devices.size
+    preds, gts = [], []
+    for views, labels in ds.batches(tcfg.micro_batch):
+        views, n_real = pad_to_multiple(views, n_dev)
+        preds.extend(np.asarray(predict(best_params, views))[:n_real].tolist())
+        gts.extend(np.asarray(labels).tolist())
+    preds, gts = np.asarray(preds), np.asarray(gts, dtype=np.float64)
+    corr = (float(np.corrcoef(preds, gts)[0, 1])
+            if preds.std() > 1e-9 and gts.std() > 1e-9 else 0.0)
+    return {
+        "val_pred_gt_corr": round(corr, 4),
+        "val_pred_std": round(float(preds.std()), 3),
+        "val_gt_std": round(float(gts.std()), 3),
+        "val_pred_min_max": [round(float(preds.min()), 1),
+                             round(float(preds.max()), 1)],
+        "val_per_object": {n: {"pred": round(float(p), 2), "gt": int(g)}
+                           for n, p, g in zip(ds.names, preds, gts)},
+    }
+
+
+def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
+                  pretrain_epochs, epochs, pretrain_batch=None,
+                  pretrain_accum=None):
+    from nerf_prv_tpu.parallel.mesh import make_mesh
+    from nerf_prv_tpu.prvnet import TrainConfig, train_regression
+    from nerf_prv_tpu.prvnet.model import IMG_PATTERN
+    from nerf_prv_tpu.prvnet.train import pretrain
+
+    train_split = os.path.join(ds_root, "train_split.txt")
+    val_split = os.path.join(ds_root, "val_split.txt")
+    n_train = len(open(train_split).read().split())
+    n_val = len(open(val_split).read().split())
+    mesh = make_mesh()
+
+    pre_dir = os.path.join(ART, f"{tag}_pretrain_ckpt")
+    pre_cfg = TrainConfig(
+        arch=arch, batch_size=pretrain_batch or batch_size,
+        accum_steps=pretrain_accum or accum_steps,
+        epochs=pretrain_epochs, image_size=crop,
+    )
+    t0 = time.perf_counter()
+    _, pre_best = pretrain(ds_root, train_split, val_split, cfg=pre_cfg,
+                           checkpoint_dir=pre_dir, log_every=1, mesh=mesh)
+    t_pre = time.perf_counter() - t0
+
+    tcfg = TrainConfig(arch=arch, batch_size=batch_size,
+                       accum_steps=accum_steps, epochs=epochs,
+                       image_size=crop)
+    ckpt_dir = os.path.join(ART, f"{tag}_ckpt")
+    t0 = time.perf_counter()
+    _, best = train_regression(
+        ds_root, train_split, val_split, cfg=tcfg, pattern=IMG_PATTERN[4],
+        checkpoint_dir=ckpt_dir, log_every=2, mesh=mesh,
+        premodel_file=os.path.join(pre_dir, "best_pretrain_checkpoint.msgpack"),
+    )
+    t_train = time.perf_counter() - t0
+
+    artifact = {
+        "arch": arch,
+        "image_size": crop,
+        "batch_size": batch_size,
+        "accum_steps": accum_steps,
+        "n_train": n_train,
+        "n_val": n_val,
+        "pretrain_epochs": pretrain_epochs,
+        "pretrain_best_l1": round(pre_best["l1_mean"], 3),
+        "pretrain_seconds": round(t_pre, 1),
+        "epochs": epochs,
+        "best_val_accuracy": round(best["accuracy"], 4),
+        "best_val_l1_mean": round(best["l1_mean"], 3),
+        "best_val_l1_std": round(best["l1_std"], 3),
+        "train_seconds": round(t_train, 1),
+        "checkpoint": os.path.join(ckpt_dir, "best_checkpoint.msgpack"),
+    }
+    artifact.update(
+        _val_metrics(tcfg, ckpt_dir, ds_root, val_split, IMG_PATTERN[4], mesh))
+    return artifact
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", required=True, choices=["tiny", "atto"])
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+    ws = os.path.join(ROOT, "ws")
+
+    if args.phase == "tiny":
+        art = run_two_stage(
+            arch="convnextv2_tiny", crop=720,
+            ds_root=os.path.join(ws, "pvb_dataset_hd"), tag="prvnet_tiny720",
+            batch_size=64, accum_steps=8,          # ≙ batch 64 (8x8 micro)
+            pretrain_epochs=2, epochs=args.epochs or 40,
+        )
+        out = os.path.join(ART, "prvnet_tiny720.json")
+    else:
+        art = run_two_stage(
+            arch="convnextv2_atto", crop=180,
+            ds_root=os.path.join(ws, "pvb_dataset"), tag="prvnet_r4",
+            batch_size=8, accum_steps=1,           # the r3 recipe verbatim
+            pretrain_batch=32, pretrain_epochs=2, epochs=args.epochs or 40,
+        )
+        art["scaling_reference"] = {
+            "r2_24_objects": {"note": "constant predictor, corr ~0"},
+            "r3_86_train": {"best_val_l1_mean": 2.927, "val_pred_gt_corr": 0.7265,
+                            "best_val_accuracy": 0.2222},
+        }
+        out = os.path.join(ART, "prvnet_scaling.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({k: v for k, v in art.items() if k != "val_per_object"}),
+          flush=True)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,24 @@ def stack_datasets(datasets: Sequence[RayDataset]):
     return pixels, rot, org, n_frames
 
 
+def _member_loss_hoisted(params, pixels_u8, rot, org, camera, cfg, inp, pool):
+    """Pool-path member loss consuming a pre-generated packed RNG block
+    (train._hoisted_split_streams) instead of deriving streams in-loop.
+
+    Per-(step, object) key, the streams equal what the single-object
+    train_chunk hoisted path draws, so dp1-vs-batched step comparisons are
+    like-for-like for the default train_rng="split" AND the batched scan
+    sheds the same ~0.5 ms/step of tiny threefry launches the single-object
+    path shed (exp_step_residue)."""
+    from .train import _huber_mean, _pool_ray_batch, _unpack_hoisted
+
+    r, bg, jitter = _unpack_hoisted(inp)
+    o, d, rgba = _pool_ray_batch(pool[r], pixels_u8, rot, org, camera)
+    target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
+    rgb, acc = render_rays(params, o, d, cfg, jitter=jitter)
+    return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
+
+
 def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key, pool=None, pool_n=None):
     if pool is not None and cfg.train_rng == "fused":
         # one-dispatch RNG, identical semantics to the plain-jit fused path
@@ -125,6 +143,16 @@ def _train_chunk_batched(
     pools=None, pool_ns=None,
 ):
     opt = make_optimizer(cfg)
+    k_obj = pixels_u8.shape[0]
+    # hoist the split path's per-step RNG out of the scan exactly like the
+    # single-object train_chunk: one batched derivation, packed uint32
+    # block, one dynamic-slice per scan iteration (train._hoisted_split_streams).
+    # HBM cost scales with K — (n_steps, K, n_rays, 4+n_samples) u32 ≈
+    # 164 MB x K per 500-step chunk; callers with large per-chip K should
+    # lower chunk_steps (on the intended one-object-per-dp-device layout the
+    # block shards with the object axis, so per-device cost is the
+    # single-object one)
+    hoist = pools is not None and cfg.train_rng == "split" and cfg.n_importance == 0
 
     def one_object_step(p, s, px, r, o, nf, key, pool=None, pool_n=None):
         loss, grads = jax.value_and_grad(_member_loss)(
@@ -133,20 +161,47 @@ def _train_chunk_batched(
         updates, s = opt.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
-    def step(carry, key):
+    def one_object_step_hoisted(p, s, px, r, o, inp, pool):
+        loss, grads = jax.value_and_grad(_member_loss_hoisted)(
+            p, px, r, o, camera, cfg, inp, pool
+        )
+        updates, s = opt.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    def step(carry, xs):
         p, s = carry
-        k = pixels_u8.shape[0]
-        keys = jax.random.split(key, k)
-        if pools is not None:
+        if hoist:
+            p, s, loss = jax.vmap(one_object_step_hoisted)(
+                p, s, pixels_u8, rot, org, xs, pools
+            )
+        elif pools is not None:
+            keys = jax.random.split(xs, k_obj)
             p, s, loss = jax.vmap(one_object_step)(
                 p, s, pixels_u8, rot, org, n_frames, keys, pools, pool_ns
             )
         else:
+            keys = jax.random.split(xs, k_obj)
             p, s, loss = jax.vmap(one_object_step)(p, s, pixels_u8, rot, org, n_frames, keys)
         return (p, s), loss
 
-    keys = jax.random.split(key, n_steps)
-    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+    step_keys = jax.random.split(key, n_steps)
+    if hoist:
+        from .train import _hoisted_split_streams
+
+        # (n_steps, K) per-object keys, same derivation the in-loop path used
+        obj_keys = jax.vmap(lambda kk: jax.random.split(kk, k_obj))(step_keys)
+        xs = jax.vmap(
+            lambda ks, nh: _hoisted_split_streams(
+                ks, cfg.train_rays, nh, cfg.n_samples
+            ),
+            in_axes=(1, 0),
+            out_axes=1,
+        )(obj_keys, pool_ns)  # (n_steps, K, n_rays, 4+n_samples) uint32
+    else:
+        xs = step_keys
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), xs, unroll=cfg.train_scan_unroll
+    )
     return params, opt_state, losses  # losses (steps, K)
 
 

@@ -132,14 +132,22 @@ class NerfConfig:
     # forces the original in-loop derivation (the identity oracle for
     # tests/test_perf_paths.py::test_hoisted_rng_bit_identical).  "fused"
     # derives all streams from ONE random.bits call — same distributions
-    # (24-bit mantissa uniforms, modulo index) but a DIFFERENT stream; it
-    # failed the worst-seed quality gate by 0.05-0.09 dB
-    # (experiments/exp_fused_rng.py) and stays opt-in.
+    # (24-bit mantissa uniforms, modulo index) but a DIFFERENT stream; at
+    # SIX seeds per scene it misses the splat mean by 0.069 dB (35.293 vs
+    # 35.362, SEM ~0.05 — a resolved systematic, not 2-seed noise) while
+    # its step win under unroll=4 is only 1.97 vs 2.00 ms, so it stays
+    # opt-in (experiments/artifacts/fused_rng_seeds.json, the r3 2-seed
+    # gate fused_rng.json superseded).
     train_rng: str = "split"
     # lax.scan unroll factor for the training loop — semantically identical
     # (same step math, same stream); >1 lets XLA schedule adjacent steps'
-    # small kernels together.  Measured on v5e (exp_scan_unroll.py).
-    train_scan_unroll: int = 1
+    # small kernels together.  Measured on v5e (exp_scan_unroll.py): tight
+    # 2.004 ms/step at unroll=4 vs 2.438 at 1 (-18%), warmup 4.725 vs
+    # 5.356.  Quality gated at SIX seeds per scene (the duplicate-index
+    # grad scatter is order-nondeterministic, so single runs jitter
+    # ~±0.1 dB): u4 means 35.362/35.445 vs u1 35.376/35.394 on splat/thin
+    # — within ±0.05 dB both ways (artifacts/fused_rng_seeds.json).
+    train_scan_unroll: int = 4
     # sample this multiple of train_rays candidate pixels per step and keep
     # the bounding-sphere hits (1 = disabled); see train._sample_batch
     train_hit_oversample: int = 4
@@ -175,6 +183,20 @@ class NerfConfig:
     # ray bound: "sphere" clips sampling to the object's bounding sphere
     # (tight by the transforms.json scale convention); "cube" = unit AABB
     bound: str = "sphere"
+
+    def __post_init__(self):
+        # a typo'd train_rng would silently fall through to the in-loop
+        # split path (missing the hoisted fast path); unroll < 1 reaches
+        # lax.scan and dies with an opaque XLA tracing error
+        if self.train_rng not in ("split", "split_inloop", "fused"):
+            raise ValueError(
+                f"train_rng must be one of 'split', 'split_inloop', 'fused';"
+                f" got {self.train_rng!r}"
+            )
+        if self.train_scan_unroll < 1:
+            raise ValueError(
+                f"train_scan_unroll must be >= 1; got {self.train_scan_unroll}"
+            )
 
 
 def sh_encode_deg4(d: jnp.ndarray) -> jnp.ndarray:

@@ -46,10 +46,26 @@ class TrainConfig:
     max_label: int = 58
     seed: int = 0
     image_size: int = 720
+    # gradient accumulation: the optimizer applies once per `accum_steps`
+    # micro-batches of size batch_size/accum_steps, so the EFFECTIVE batch
+    # (and the blr scaling below) is batch_size.  The reference config —
+    # tiny@720 batch 64 (train_regression.py:258-260,497-500) — needs this
+    # on the tunneled v5e: batch >= 16 fails remote compile
+    # (artifacts/tiny720.json), micro-batch 8 x 8 is the measured-safe route
+    accum_steps: int = 1
 
     @property
     def lr(self) -> float:
         return self.blr * self.batch_size / 256.0  # ≙ train_regression.py:607
+
+    @property
+    def micro_batch(self) -> int:
+        if self.batch_size % self.accum_steps:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"accum_steps {self.accum_steps}"
+            )
+        return self.batch_size // self.accum_steps
 
 
 def _wd_mask(params):
@@ -147,7 +163,9 @@ def check_accuracy(
     accuracy plus L1 distance mean ± std."""
     n_dev = mesh.devices.size
     dists, correct, total = [], 0, 0
-    for views, labels in dataset.batches(cfg.batch_size):
+    # micro_batch: the eval forward has the same per-step HBM footprint as
+    # a training micro-step, so accumulation configs eval at micro size too
+    for views, labels in dataset.batches(cfg.micro_batch):
         views, n_real = pad_to_multiple(views, n_dev)
         pred = np.asarray(predict(params, views))[:n_real]
         rounded = np.round(pred)
@@ -235,6 +253,10 @@ def train_regression(
 
     steps_per_epoch = max(-(-len(train_ds.names) // cfg.batch_size), 1)
     optimizer = make_optimizer(cfg, params, steps_per_epoch)
+    if cfg.accum_steps > 1:
+        # the inner optimizer (and any schedule) advances once per
+        # accumulated application, i.e. per EFFECTIVE batch
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=cfg.accum_steps)
     opt_state = optimizer.init(params)
     step = make_train_step(model, cfg, optimizer, mesh)
     predict = make_eval_step(model, cfg, mesh)
@@ -244,7 +266,7 @@ def train_regression(
     log_path = os.path.join(checkpoint_dir, "log.jsonl")  # ≙ tensorboardX scalars
     for epoch in range(cfg.epochs):
         losses = []
-        for views, labels in train_ds.batches(cfg.batch_size, rng=rng):
+        for views, labels in train_ds.batches(cfg.micro_batch, rng=rng):
             views, n_real = pad_to_multiple(views, n_dev)
             labels, _ = pad_to_multiple(labels, n_dev)
             params, opt_state, loss = step(params, opt_state, views, labels)
@@ -324,6 +346,8 @@ def pretrain(
 
     steps_per_epoch = max(-(-len(train_ds) // cfg.batch_size), 1)
     optimizer = make_optimizer(cfg, params, steps_per_epoch)
+    if cfg.accum_steps > 1:
+        optimizer = optax.MultiSteps(optimizer, every_k_schedule=cfg.accum_steps)
     opt_state = optimizer.init(params)
     step = make_train_step(model, cfg, optimizer, mesh)
     predict = make_eval_step(model, cfg, mesh)
@@ -333,7 +357,7 @@ def pretrain(
     log_path = os.path.join(checkpoint_dir, "pretrain_log.jsonl")
     for epoch in range(cfg.epochs):
         losses = []
-        for imgs, labels in train_ds.batches(cfg.batch_size, rng=rng):
+        for imgs, labels in train_ds.batches(cfg.micro_batch, rng=rng):
             imgs, n_real = pad_to_multiple(imgs, n_dev)
             labels, _ = pad_to_multiple(labels, n_dev)
             params, opt_state, loss = step(params, opt_state, imgs, labels)

@@ -326,6 +326,85 @@ def test_hoisted_rng_bit_identical():
             )
 
 
+def test_batched_hoisted_rng_matches_member_loss():
+    """The batched scan's hoisted split-RNG branch (default train_rng on the
+    pool path) must feed each object the exact packed stream that
+    _hoisted_split_streams derives from the documented key chain — losses[0]
+    of a 1-step _train_chunk_batched equal _member_loss_hoisted evaluated on
+    the manually derived block."""
+    from nerf_prv_tpu.nerf.batch_train import (
+        _member_loss_hoisted,
+        _train_chunk_batched,
+    )
+    from nerf_prv_tpu.nerf.train import (
+        _hoisted_split_streams,
+        build_hit_pool,
+        make_optimizer,
+    )
+
+    rng = np.random.default_rng(13)
+    h = w = 24
+    n_f, k_obj = 3, 2
+    cam = dataclasses.replace(TEST_CAM, width=w, height=h, ppx=12.0, ppy=12.0)
+    cfg = dataclasses.replace(TINY, n_samples=8, train_rays=64, train_coarse=0)
+
+    pixels, rots, orgs, pools, pool_ns = [], [], [], [], []
+    for i in range(k_obj):
+        views = rng.normal(size=(n_f, 3))
+        views[:, 2] = np.abs(views[:, 2])
+        views /= np.linalg.norm(views, axis=1, keepdims=True)
+        c2w = camera_to_world(views * 0.3, np.zeros(3) + 1e-4)
+        rot = jnp.asarray(c2w[:, :3, :3][:, [2, 0, 1], :], jnp.float32)
+        org = jnp.asarray(c2w[:, :3, 3][:, [2, 0, 1]] * 5.0 + 0.5, jnp.float32)
+        pool, n_hit = build_hit_pool(rot, org, cam)
+        pixels.append(rng.integers(0, 255, (n_f, h, w, 4)))
+        rots.append(rot)
+        orgs.append(org)
+        pools.append(pool)
+        pool_ns.append(n_hit)
+    bpix = jnp.asarray(np.stack(pixels), jnp.uint8)
+    brot, borg = jnp.stack(rots), jnp.stack(orgs)
+    bpool, bpool_n = jnp.stack(pools), jnp.stack(pool_ns)
+    bnf = jnp.full((k_obj,), n_f, jnp.int32)
+
+    params = jax.vmap(lambda kk: init_params(kk, cfg))(
+        jax.random.split(jax.random.PRNGKey(0), k_obj)
+    )
+    opt_state = jax.vmap(make_optimizer(cfg).init)(params)
+    key = jax.random.PRNGKey(5)
+    # the chunk donates its params/opt buffers — hand it copies so the
+    # originals stay valid for the expected-loss computation below
+    _, _, losses = _train_chunk_batched(
+        jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+        jax.tree.map(lambda x: jnp.array(x, copy=True), opt_state),
+        key, bpix, brot, borg, bnf, cam, cfg, 1, bpool, bpool_n,
+    )
+
+    step_key = jax.random.split(key, 1)[0]
+    obj_keys = jax.random.split(step_key, k_obj)
+    for i in range(k_obj):
+        packed = _hoisted_split_streams(
+            obj_keys[i : i + 1], cfg.train_rays, bpool_n[i], cfg.n_samples
+        )[0]
+        expect = _member_loss_hoisted(
+            jax.tree.map(lambda x: x[i], params), bpix[i], brot[i], borg[i],
+            cam, cfg, packed, bpool[i],
+        )
+        # bf16 compute path: jit-vs-eager fusion reorders accumulations
+        np.testing.assert_allclose(
+            float(losses[0, i]), float(expect), rtol=2e-3
+        )
+
+
+def test_nerf_config_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        NerfConfig(train_rng="spilt")
+    with pytest.raises(ValueError):
+        NerfConfig(train_scan_unroll=0)
+
+
 def test_member_loss_fused_matches_plain_semantics():
     """The batched path's fused branch uses the same one-dispatch sampler as
     the plain-jit path, so a fused cfg produces a finite member loss and the

@@ -27,6 +27,43 @@ from nerf_prv_tpu.prvnet.train import init_model
 SMALL = TrainConfig(arch="convnextv2_atto", batch_size=4, epochs=2, image_size=64)
 
 
+def test_grad_accumulation_matches_full_batch():
+    """optax.MultiSteps with equal-size micro-batches averages the k
+    micro-grad means into the full-batch grad mean, so accum_steps=2 over
+    the same 4 samples must land on the same params as one batch-4 step."""
+    import optax
+
+    from nerf_prv_tpu.parallel.mesh import make_mesh
+    from nerf_prv_tpu.prvnet.train import make_optimizer, make_train_step
+
+    cfg = TrainConfig(arch="convnextv2_atto", batch_size=4, image_size=32)
+    cfg_acc = TrainConfig(
+        arch="convnextv2_atto", batch_size=4, accum_steps=2, image_size=32
+    )
+    assert cfg_acc.micro_batch == 2 and cfg_acc.lr == cfg.lr
+    mesh = make_mesh(devices=jax.devices()[:1])  # no padding artifacts
+    model, params = init_model(cfg, 2, image_size=32)
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(rng.uniform(0, 1, (4, 2, 32, 32, 3)), jnp.float32)
+    labels = jnp.asarray(rng.uniform(13, 58, (4,)), jnp.float32)
+
+    opt_f = make_optimizer(cfg, params)
+    step_f = make_train_step(model, cfg, opt_f, mesh)
+    pf, _, _ = step_f(
+        jax.tree.map(jnp.copy, params), opt_f.init(params), views, labels
+    )
+
+    opt_a = optax.MultiSteps(make_optimizer(cfg_acc, params), every_k_schedule=2)
+    step_a = make_train_step(model, cfg_acc, opt_a, mesh)
+    pa, sa = jax.tree.map(jnp.copy, params), opt_a.init(params)
+    for i in range(2):
+        pa, sa, _ = step_a(pa, sa, views[2 * i : 2 * i + 2], labels[2 * i : 2 * i + 2])
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(pa)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
 def test_grn_is_identity_at_init():
     grn = GRN(8)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
