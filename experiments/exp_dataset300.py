@@ -77,15 +77,26 @@ def _pvb_cfg(cfg):
     return cfg.replace(camera=CameraConfig())
 
 
-def _render_pvb_sets(scene, obj_cfg):
+def _render_pvb_sets(scene, obj_cfg, hd64=True):
+    """``hd64=False`` defers the expensive 64-view 1280x720 render (phase A
+    labels every new object but only the ones that join the TRAIN split need
+    hd/64; phase B renders it for exactly those)."""
     from nerf_prv_tpu.pipeline.coverage import get_coverage
 
     get_coverage(scene, obj_cfg, 64)   # qcam (round-3 protocol, atto arm)
-    get_coverage(scene, obj_cfg, 5)
     hd_cfg = _pvb_cfg(obj_cfg)
     hd = os.path.join(obj_cfg.gt_path, "hd")
-    get_coverage(scene, hd_cfg, 64, gt_path=hd)   # 1280x720 (tiny@720 arm)
-    get_coverage(scene, hd_cfg, 5, gt_path=hd)
+    if hd64:
+        get_coverage(scene, hd_cfg, 64, gt_path=hd)  # 1280x720 (tiny@720 arm)
+    get_coverage(scene, hd_cfg, 5, gt_path=hd)       # live-infer init space
+
+
+def _pvb_done(obj_cfg, hd64=True):
+    gp = obj_cfg.gt_path
+    want = ["64.json", os.path.join("hd", "5.json")]
+    if hd64:
+        want.append(os.path.join("hd", "64.json"))
+    return all(os.path.exists(os.path.join(gp, p)) for p in want)
 
 
 def phase_r_regen(cfg, names):
@@ -101,6 +112,8 @@ def phase_r_regen(cfg, names):
     for i, name in enumerate(names):
         make_family_object(name, model_dir)
         obj_cfg = cfg.replace(name_of_pcd=name)
+        if _pvb_done(obj_cfg):  # cheap restart: skip before load_object
+            continue
         scene = load_object(obj_cfg, name)
         if not scene.ok:
             print(f"[regen] {name}: load FAILED", flush=True)
@@ -140,15 +153,17 @@ def phase_a_labels(cfg, names, deadline_min):
                 (time.perf_counter() - t_start) / 60.0 > deadline_min:
             print(f"[labels] deadline after {len(objects)} objects", flush=True)
             break
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        if name in objects and _pvb_done(obj_cfg, hd64=False):
+            continue  # cheap restart: fully done, skip all setup
         t0 = time.perf_counter()
         make_family_object(name, model_dir)
-        obj_cfg = cfg.replace(name_of_pcd=name)
         label_path = os.path.join(obj_cfg.gt_path, "label.txt")
         fresh = name not in objects
         modes.mode_get_coverage(cfg, [name])
         scene = load_object(obj_cfg, name)
         if scene.ok:
-            _render_pvb_sets(scene, obj_cfg)
+            _render_pvb_sets(scene, obj_cfg, hd64=False)
         modes.mode_instant_ngp(cfg, [name], nerf_cfg=nerf_cfg)
         modes.mode_fit_labels(cfg, [name])
         res = parse_label_file(label_path)
@@ -222,6 +237,21 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
         f.write("\n".join(train) + "\n")
     with open(os.path.join(ds_root, "val_split.txt"), "w") as f:
         f.write("\n".join(val) + "\n")
+
+    # render the deferred hd/64 sets for NEW objects that joined train
+    # (phase A only rendered hd/5; test objects never need hd/64)
+    from nerf_prv_tpu.pipeline.coverage import get_coverage
+    from nerf_prv_tpu.scene.object_setup import load_object
+
+    for name in sorted(info["labels"]):
+        obj_cfg = cfg.replace(name_of_pcd=name)
+        hd = os.path.join(obj_cfg.gt_path, "hd")
+        if os.path.exists(os.path.join(hd, "64.json")):
+            continue
+        scene = load_object(obj_cfg, name)
+        if scene.ok:
+            get_coverage(scene, _pvb_cfg(obj_cfg), 64, gt_path=hd)
+            print(f"[hd64] rendered {name}", flush=True)
 
     # parallel hd dataset (1280x720 images) for the tiny@720 reference
     # config: same names, same labels, same split files
