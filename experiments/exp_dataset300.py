@@ -110,10 +110,13 @@ def phase_r_regen(cfg, names):
     modes.mode_view_cover(cfg, sizes=counts + [5, 64, 100])
     t0 = time.perf_counter()
     for i, name in enumerate(names):
-        make_family_object(name, model_dir)
         obj_cfg = cfg.replace(name_of_pcd=name)
-        if _pvb_done(obj_cfg):  # cheap restart: skip before load_object
+        # cheap restart: skip before the ~8 s mesh synthesis AND load_object
+        # (the PLY check keeps later phases' load_object working)
+        if _pvb_done(obj_cfg) and \
+                os.path.exists(os.path.join(model_dir, f"{name}.ply")):
             continue
+        make_family_object(name, model_dir)
         scene = load_object(obj_cfg, name)
         if not scene.ok:
             print(f"[regen] {name}: load FAILED", flush=True)

@@ -10,11 +10,49 @@ images CenterCrop(720) + scaled to [0,1] (≙ transforms at
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .model import IMG_PATTERN
+
+# Decoded-image cache: PNG decode dominates the input pipeline (a 1280x720
+# decode is ~30 ms while the tiny@720 fwd+bwd is ~13 ms/image), and every
+# epoch re-reads the same files.  Cropped uint8 copies are small enough to
+# keep resident (720^2*3 = 1.5 MB/view; a 120-object hd corpus is ~11 GB on
+# a 125 GB host).  Bounded by PRV_IMG_CACHE_MB (0 disables).
+_CACHE_MB = float(os.environ.get("PRV_IMG_CACHE_MB", 24576))
+_cache: dict = {}
+_cache_bytes = 0
+_cache_lock = threading.Lock()
+_POOL = ThreadPoolExecutor(max_workers=int(os.environ.get("PRV_LOADER_THREADS", 8)))
+# separate single-thread executor for batch prefetch: a fetch task waits on
+# _POOL item decodes, so running it on _POOL itself could deadlock at small
+# worker counts
+_PREFETCH = ThreadPoolExecutor(max_workers=1)
+
+
+def _load_u8(path: str, crop: Optional[int]) -> np.ndarray:
+    """Cached decode -> RGB uint8, center-cropped."""
+    global _cache_bytes
+    key = (path, crop, os.path.getmtime(path))
+    with _cache_lock:
+        hit = _cache.get(key)
+    if hit is not None:
+        return hit
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"))
+    if crop:
+        img = center_crop(img, crop)
+    img = np.ascontiguousarray(img)
+    with _cache_lock:
+        if _cache_bytes + img.nbytes <= _CACHE_MB * 2**20:
+            _cache[key] = img
+            _cache_bytes += img.nbytes
+    return img
 
 
 def center_crop(img: np.ndarray, size: int = 720) -> np.ndarray:
@@ -35,12 +73,7 @@ def center_crop(img: np.ndarray, size: int = 720) -> np.ndarray:
 def load_rgb(path: str, crop: Optional[int] = 720) -> np.ndarray:
     """RGB float32 [0,1]; RGBA flattened onto black like PIL convert('RGB')
     drops alpha (≙ Image.open(...).convert('RGB'), train_regression.py:232)."""
-    from PIL import Image
-
-    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
-    if crop:
-        img = center_crop(img, crop)
-    return img
+    return _load_u8(path, crop).astype(np.float32) / 255.0
 
 
 def read_split(path: str) -> List[str]:
@@ -71,21 +104,12 @@ class PVBDataset:
         views = np.stack(
             [load_rgb(os.path.join(d, f"rgbaClip_{j}.png"), self.crop) for j in self.pattern]
         )
-        label = int(np.loadtxt(os.path.join(d, "view_budget.txt")))
-        return views, label
+        return views, _read_label(os.path.join(d, "view_budget.txt"))
 
     def batches(
         self, batch_size: int, rng: Optional[np.random.Generator] = None, drop_last: bool = False
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        order = np.arange(len(self))
-        if rng is not None:
-            rng.shuffle(order)
-        for s in range(0, len(order), batch_size):
-            idx = order[s : s + batch_size]
-            if drop_last and len(idx) < batch_size:
-                return
-            views, labels = zip(*(self[i] for i in idx))
-            yield np.stack(views), np.asarray(labels, np.float32)
+        yield from _batched(self, batch_size, rng, drop_last)
 
 
 class PVBPretrainDataset:
@@ -107,19 +131,50 @@ class PVBPretrainDataset:
         name, j = self.samples[i]
         d = os.path.join(self.root, name)
         img = load_rgb(os.path.join(d, f"rgbaClip_{j}.png"), self.crop)
-        label = int(np.loadtxt(os.path.join(d, "view_budget.txt")))
-        return img, label
+        return img, _read_label(os.path.join(d, "view_budget.txt"))
 
     def batches(
         self, batch_size: int, rng: Optional[np.random.Generator] = None, drop_last: bool = False
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """(imgs (B,H,W,3), labels (B,)) minibatches, shuffled when given rng."""
-        order = np.arange(len(self))
-        if rng is not None:
-            rng.shuffle(order)
-        for s in range(0, len(order), batch_size):
-            idx = order[s : s + batch_size]
-            if drop_last and len(idx) < batch_size:
-                return
-            imgs, labels = zip(*(self[i] for i in idx))
-            yield np.stack(imgs), np.asarray(labels, np.float32)
+        yield from _batched(self, batch_size, rng, drop_last)
+
+
+_label_cache: dict = {}
+
+
+def _read_label(path: str) -> int:
+    v = _label_cache.get(path)
+    if v is None:
+        v = _label_cache[path] = int(np.loadtxt(path))
+    return v
+
+
+def _batched(ds, batch_size, rng, drop_last):
+    """Shared minibatch iterator: samples decode on the thread pool while
+    the accelerator consumes the previous batch (one-batch prefetch)."""
+    order = np.arange(len(ds))
+    if rng is not None:
+        rng.shuffle(order)
+    starts = list(range(0, len(order), batch_size))
+
+    def fetch(s):
+        idx = order[s : s + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return None
+        items = list(_POOL.map(ds.__getitem__, idx))
+        first, labels = zip(*items)
+        return np.stack(first), np.asarray(labels, np.float32)
+
+    pending = None
+    for s in starts:
+        nxt = _PREFETCH.submit(fetch, s)
+        if pending is not None:
+            b = pending.result()
+            if b is not None:
+                yield b
+        pending = nxt
+    if pending is not None:
+        b = pending.result()
+        if b is not None:
+            yield b
