@@ -26,8 +26,9 @@ for attempt in $(seq 1 40); do
       exit 0
     fi
     # grace period: old workspace files may all be stale right after a
-    # restart (the hang that triggered it aged everything)
-    if [ $(( $(date +%s) - T0 )) -lt "$STALL" ]; then
+    # restart (the hang that triggered it aged everything), and a fresh
+    # process needs minutes to re-acquire a kill-wedged chip claim
+    if [ $(( $(date +%s) - T0 )) -lt $(( STALL + 300 )) ]; then
       continue
     fi
     # any file written recently anywhere under the workspace counts
