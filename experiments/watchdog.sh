@@ -34,6 +34,9 @@ for attempt in $(seq 1 40); do
     # any file written recently anywhere under the workspace counts
     if [ -z "$(find "$PROGRESS_DIR" -type f -newermt "-${STALL} seconds" -print -quit 2>/dev/null)" ]; then
       echo "=== watchdog: no writes for ${STALL}s, killing $PID $(date +%H:%M:%S) ===" >> "$LOG"
+      # SIGTERM first so the tunnel client can release its chip claim
+      kill "$PID" 2>/dev/null
+      sleep 10
       kill -9 "$PID" 2>/dev/null
       sleep 5
       break
