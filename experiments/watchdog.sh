@@ -31,8 +31,10 @@ for attempt in $(seq 1 40); do
     if [ $(( $(date +%s) - T0 )) -lt $(( STALL + 300 )) ]; then
       continue
     fi
-    # any file written recently anywhere under the workspace counts
-    if [ -z "$(find "$PROGRESS_DIR" -type f -newermt "-${STALL} seconds" -print -quit 2>/dev/null)" ]; then
+    # any file written recently anywhere under the workspace counts; the
+    # job's own log is progress too (training jobs print every epoch but
+    # may checkpoint less often than STALL)
+    if [ -z "$(find "$PROGRESS_DIR" "$LOG" -type f -newermt "-${STALL} seconds" -print -quit 2>/dev/null)" ]; then
       echo "=== watchdog: no writes for ${STALL}s, killing $PID $(date +%H:%M:%S) ===" >> "$LOG"
       # SIGTERM first so the tunnel client can release its chip claim
       kill "$PID" 2>/dev/null
