@@ -44,7 +44,11 @@ ART = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
 # stop labeling new objects once this much wall clock is spent in phase A
 DEADLINE_MIN = float(os.environ.get("PRV4_DEADLINE_MIN", 255))
-NEW_INDICES = range(10, 20)   # 12 families x 10 new objects = 120 candidates
+# 12 families x indices [10, PRV4_INDEX_END): default 120 new candidates
+# (corpus 240); the end-of-queue extension raises PRV4_INDEX_END to 25
+# (corpus 300) once the evaluation jobs are done — safe because phase B
+# pins the test roster after its first freeze.
+NEW_INDICES = range(10, int(os.environ.get("PRV4_INDEX_END", 20)))
 N_TEST = int(os.environ.get("PRV4_N_TEST", 100))
 LEGACY_LABELS = os.path.join(ART, "dataset100_labels.json")
 LEGACY_STATS = os.path.join(ART, "dataset100_stats.json")
@@ -211,9 +215,21 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     new_lab = usable(new_objects)
     val_labels = {n: legacy_lab[n] for n in legacy_val if n in legacy_lab}
 
-    # frozen mode-7 roster: new objects matched to the FIXED r3 val split
-    test = sorted(match_distribution(val_labels, new_lab, n_test=N_TEST,
-                                     seed=cfg.seed))
+    # frozen mode-7 roster: new objects matched to the FIXED r3 val split.
+    # Once frozen (first phase-B run), the roster is PINNED: corpus
+    # extensions only ever grow the train split, so mode-7/mode-21 results
+    # computed against the roster stay valid (no post-hoc leakage).
+    stats_path = os.path.join(ART, "dataset300_stats.json")
+    test = None
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prev_test = json.load(f).get("test", [])
+        if prev_test and all(n in new_lab for n in prev_test):
+            test = sorted(prev_test)
+            print(f"[dataset] pinned test roster ({len(test)})", flush=True)
+    if test is None:
+        test = sorted(match_distribution(val_labels, new_lab, n_test=N_TEST,
+                                         seed=cfg.seed))
     train_new = sorted(set(new_lab) - set(test))
 
     # reconstruct minimal LabelResults: only converged + gradient[1] feed

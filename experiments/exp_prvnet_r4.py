@@ -145,9 +145,13 @@ def main():
         )
         out = os.path.join(ART, "prvnet_tiny720.json")
     else:
+        # PRV4_ATTO_TAG lets the end-of-queue corpus extension train a FRESH
+        # scaling point (new ckpt dir + artifact) instead of resuming the
+        # 240-corpus best — the scaling curve needs independent points
+        tag = os.environ.get("PRV4_ATTO_TAG", "prvnet_r4")
         art = run_two_stage(
             arch="convnextv2_atto", crop=180,
-            ds_root=os.path.join(ws, "pvb_dataset"), tag="prvnet_r4",
+            ds_root=os.path.join(ws, "pvb_dataset"), tag=tag,
             batch_size=8, accum_steps=1,           # the r3 recipe verbatim
             pretrain_batch=32, pretrain_epochs=2, epochs=args.epochs or 40,
         )
@@ -156,7 +160,8 @@ def main():
             "r3_86_train": {"best_val_l1_mean": 2.927, "val_pred_gt_corr": 0.7265,
                             "best_val_accuracy": 0.2222},
         }
-        out = os.path.join(ART, "prvnet_scaling.json")
+        name = "prvnet_scaling" if tag == "prvnet_r4" else f"{tag}_scaling"
+        out = os.path.join(ART, f"{name}.json")
     with open(out, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps({k: v for k, v in art.items() if k != "val_per_object"}),

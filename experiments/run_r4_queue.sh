@@ -79,4 +79,17 @@ gate mode21-r4
 bash $W 600 $WS /tmp/mode21_r4.log -- \
   python -u experiments/exp_mode21_r4.py
 
+# 6. corpus extension toward 300 objects (indices 20..24; roster is pinned
+#    by phase B so the evaluation above stays valid — only train grows)
+gate dataset300-extension
+bash $W 600 $WS /tmp/dataset300_ext.log -- \
+  env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=120 \
+  python -u experiments/exp_dataset300.py --phase all
+
+# 7. fresh atto scaling point on the ~300-object corpus
+gate prvnet-atto-300
+bash $W 900 $ART /tmp/atto300.log -- \
+  env PRV4_ATTO_TAG=prvnet_r4ext \
+  python -u experiments/exp_prvnet_r4.py --phase atto
+
 say "all jobs done"
