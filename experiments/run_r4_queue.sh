@@ -59,37 +59,35 @@ gate dataset300
 PRV4_DEADLINE_MIN=90 bash $W 600 $WS /tmp/dataset300.log -- \
   env PRV4_DEADLINE_MIN=90 python -u experiments/exp_dataset300.py --phase all
 
-# 2. PRVNet at the reference configuration (tiny@720, effective batch 64)
-gate prvnet-tiny720
-bash $W 900 $ART /tmp/tiny720_train.log -- \
-  python -u experiments/exp_prvnet_r4.py --phase tiny
-
-# 3. the atto@180 scaling-curve arm (same recipe as r3, expanded train set)
-gate prvnet-atto-scaling
-bash $W 900 $ART /tmp/atto_scaling.log -- \
-  python -u experiments/exp_prvnet_r4.py --phase atto
-
-# 4. mode-7 statistics comparison at scale with the live tiny predictor
-gate mode7-r4
-bash $W 600 $WS /tmp/mode7_r4.log -- \
-  python -u experiments/exp_mode7_r4.py
-
-# 5. mode-21 five-method view-planning table
-gate mode21-r4
-bash $W 600 $WS /tmp/mode21_r4.log -- \
-  python -u experiments/exp_mode21_r4.py
-
-# 6. corpus extension toward 300 objects (indices 20..24; roster is pinned
-#    by phase B so the evaluation above stays valid — only train grows)
+# 2. corpus extension toward 300 objects BEFORE any training: the pinned
+#    test roster absorbs ~100 of the first 120 new labels, so without the
+#    extension the train split would grow by only ~20 objects.  Indices
+#    20..24 are train-only (roster frozen by step 1's phase B), lifting
+#    train from ~106 to ~170-190 for every predictor trained below.
 gate dataset300-extension
 bash $W 600 $WS /tmp/dataset300_ext.log -- \
   env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=120 \
   python -u experiments/exp_dataset300.py --phase all
 
-# 7. fresh atto scaling point on the ~300-object corpus
-gate prvnet-atto-300
-bash $W 900 $ART /tmp/atto300.log -- \
-  env PRV4_ATTO_TAG=prvnet_r4ext \
+# 3. PRVNet at the reference configuration (tiny@720, effective batch 64)
+gate prvnet-tiny720
+bash $W 900 $ART /tmp/tiny720_train.log -- \
+  python -u experiments/exp_prvnet_r4.py --phase tiny
+
+# 4. the atto@180 scaling-curve arm (same recipe as r3, full expanded
+#    train set — the scaling curve is {r2 24, r3 86, r4 ~170-190})
+gate prvnet-atto-scaling
+bash $W 900 $ART /tmp/atto_scaling.log -- \
   python -u experiments/exp_prvnet_r4.py --phase atto
+
+# 5. mode-7 statistics comparison at scale with the live tiny predictor
+gate mode7-r4
+bash $W 600 $WS /tmp/mode7_r4.log -- \
+  python -u experiments/exp_mode7_r4.py
+
+# 6. mode-21 five-method view-planning table
+gate mode21-r4
+bash $W 600 $WS /tmp/mode21_r4.log -- \
+  python -u experiments/exp_mode21_r4.py
 
 say "all jobs done"
