@@ -69,10 +69,12 @@ bash $W 600 $WS /tmp/dataset300_ext.log -- \
   env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=120 \
   python -u experiments/exp_dataset300.py --phase all
 
-# 3. PRVNet at the reference configuration (tiny@720, effective batch 64)
+# 3. PRVNet at the reference configuration (tiny@720, effective batch 64).
+#    100 epochs (vs the atto arm's r3-comparable 40): best-ckpt selection
+#    makes extra epochs free for the headline metric.
 gate prvnet-tiny720
 bash $W 900 $ART /tmp/tiny720_train.log -- \
-  python -u experiments/exp_prvnet_r4.py --phase tiny
+  python -u experiments/exp_prvnet_r4.py --phase tiny --epochs 100
 
 # 4. the atto@180 scaling-curve arm (same recipe as r3, full expanded
 #    train set — the scaling curve is {r2 24, r3 86, r4 ~170-190})
@@ -83,6 +85,7 @@ bash $W 900 $ART /tmp/atto_scaling.log -- \
 # 5. mode-7 statistics comparison at scale with the live tiny predictor
 gate mode7-r4
 bash $W 600 $WS /tmp/mode7_r4.log -- \
+  env PRV4_MODE7_DEADLINE_MIN=150 \
   python -u experiments/exp_mode7_r4.py
 
 # 6. mode-21 five-method view-planning table

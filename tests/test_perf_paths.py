@@ -302,12 +302,18 @@ def test_hoisted_rng_bit_identical():
         )
 
     # end-to-end identity through the scan, on both the flat-march
-    # (train_coarse=0, warmup-like) and probe-tightened (production) shapes
+    # (train_coarse=0, warmup-like) and probe-tightened (production) shapes.
+    # The oracle runs train_rng="split_inloop" AND train_scan_unroll=1: both
+    # are semantic identities vs the default (hoisted, unroll=4) path, so
+    # one comparison guards the RNG hoist and the scan unroll at once —
+    # and the unroll=1 oracle compiles a 4x smaller scan body.
     for coarse in (0, 4):
         cfg_h = dataclasses.replace(
             TINY, n_samples=8, train_rays=128, train_coarse=coarse
         )
-        cfg_o = dataclasses.replace(cfg_h, train_rng="split_inloop")
+        cfg_o = dataclasses.replace(
+            cfg_h, train_rng="split_inloop", train_scan_unroll=1
+        )
         outs = {}
         for name, cfg in (("hoist", cfg_h), ("inloop", cfg_o)):
             params = init_params(jax.random.PRNGKey(0), cfg)

@@ -30,11 +30,21 @@ SMALL = TrainConfig(arch="convnextv2_atto", batch_size=4, epochs=2, image_size=6
 def test_grad_accumulation_matches_full_batch():
     """optax.MultiSteps with equal-size micro-batches averages the k
     micro-grad means into the full-batch grad mean, so accum_steps=2 over
-    the same 4 samples must land on the same params as one batch-4 step."""
+    the same 4 samples must land on the same params as one batch-4 step.
+
+    The accumulation math is encoder-independent, so a toy Dense encoder
+    keeps the real make_train_step/make_optimizer/loss_fn wiring under test
+    without the ~80 s CPU compile of the ConvNeXt backward."""
+    import flax.linen as nn
     import optax
 
     from nerf_prv_tpu.parallel.mesh import make_mesh
     from nerf_prv_tpu.prvnet.train import make_optimizer, make_train_step
+
+    class ToyEncoder(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # (N, H, W, 3) -> (N, 8)
+            return nn.Dense(8)(x.reshape(x.shape[0], -1))
 
     cfg = TrainConfig(arch="convnextv2_atto", batch_size=4, image_size=32)
     cfg_acc = TrainConfig(
@@ -42,7 +52,10 @@ def test_grad_accumulation_matches_full_batch():
     )
     assert cfg_acc.micro_batch == 2 and cfg_acc.lr == cfg.lr
     mesh = make_mesh(devices=jax.devices()[:1])  # no padding artifacts
-    model, params = init_model(cfg, 2, image_size=32)
+    model = PVBNet(encoder=ToyEncoder(), fc_dims=(16, 1))
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    )["params"]
     rng = np.random.default_rng(0)
     views = jnp.asarray(rng.uniform(0, 1, (4, 2, 32, 32, 3)), jnp.float32)
     labels = jnp.asarray(rng.uniform(13, 58, (4,)), jnp.float32)
