@@ -154,10 +154,20 @@ def phase_a_labels(cfg, names, deadline_min):
         times = prev.get("seconds_per_object", {})
 
     nerf_cfg = NerfConfig(n_steps=cfg.n_steps)
-    t_start = time.perf_counter()
+    # the deadline must survive watchdog restarts (each relaunch would
+    # otherwise reset it and the budget becomes per-attempt): anchor to a
+    # wall-clock t0 persisted in the artifact on first run
+    prev_meta = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev_meta = json.load(f)
+    # keyed by roster end so the INDEX_END=25 extension run gets a fresh
+    # budget instead of inheriting the first run's exhausted anchor
+    t0_key = f"phase_a_t0_end{NEW_INDICES.stop}"
+    t0_wall = prev_meta.get(t0_key) or time.time()
     for i, name in enumerate(names):
         if name not in objects and \
-                (time.perf_counter() - t_start) / 60.0 > deadline_min:
+                (time.time() - t0_wall) / 60.0 > deadline_min:
             print(f"[labels] deadline after {len(objects)} objects", flush=True)
             break
         obj_cfg = cfg.replace(name_of_pcd=name)
@@ -183,6 +193,9 @@ def phase_a_labels(cfg, names, deadline_min):
               f"converged={res.converged} ({dt}s)", flush=True)
         fresh_times = [t for t in times.values() if t > 5]
         artifact = {
+            **{k: v for k, v in prev_meta.items()
+               if k.startswith("phase_a_t0_")},
+            t0_key: t0_wall,
             "objects": objects,
             "n_done": len(objects),
             "distinct_labels": sorted({o["label"] for o in objects.values()
@@ -192,8 +205,12 @@ def phase_a_labels(cfg, names, deadline_min):
             "seconds_per_object": times,
         }
         os.makedirs(ART, exist_ok=True)
-        with open(out_path, "w") as f:
+        # atomic replace: a crash mid-write must not truncate the labels
+        # file every restart depends on
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(artifact, f, indent=1)
+        os.replace(tmp, out_path)
     return objects
 
 
@@ -224,7 +241,15 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             prev_test = json.load(f).get("test", [])
-        if prev_test and all(n in new_lab for n in prev_test):
+        # pin only a FULL roster: a deadline-cut phase A can freeze an
+        # undersized set otherwise.  Re-matching is safe while the dataset
+        # steps run — the queue orders every labeling/phase-B pass before
+        # mode-7/mode-21 consume the roster.  Once mode-7 has STARTED
+        # consuming it (mode7_r4.json exists), pin unconditionally: its
+        # per-object rows must stay out of every later train split.
+        consumed = os.path.exists(os.path.join(ART, "mode7_r4.json"))
+        ok_pool = all(n in new_lab for n in prev_test)
+        if prev_test and ok_pool and (consumed or len(prev_test) >= N_TEST):
             test = sorted(prev_test)
             print(f"[dataset] pinned test roster ({len(test)})", flush=True)
     if test is None:
@@ -273,24 +298,37 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
             print(f"[hd64] rendered {name}", flush=True)
 
     # parallel hd dataset (1280x720 images) for the tiny@720 reference
-    # config: same names, same labels, same split files
-    import shutil
-
+    # config: same names, same labels.  An object whose hd/64 render is
+    # incomplete (load failure, interrupted render) must NOT enter the hd
+    # split files — a label with missing PNGs crashes the tiny trainer's
+    # first epoch — so the hd splits are the qcam splits filtered to
+    # complete objects, with every drop printed.
     hd_root = os.path.join(cfg.workspace, "pvb_dataset_hd")
+    hd_ok = set()
     for name, label in info["labels"].items():
         obj_dir = os.path.join(hd_root, name)
         os.makedirs(obj_dir, exist_ok=True)
         src_dir = os.path.join(coverage_root, name, "hd", "64")
+        n_linked = 0
         for j in range(64):
             src = os.path.join(src_dir, f"rgbaClip_{j}.png")
             dst = os.path.join(obj_dir, f"rgbaClip_{j}.png")
-            if os.path.exists(src) and not os.path.exists(dst):
+            if os.path.exists(dst):
+                n_linked += 1
+            elif os.path.exists(src):
                 os.link(src, dst)  # hardlink: zero extra bytes
+                n_linked += 1
         with open(os.path.join(obj_dir, "view_budget.txt"), "w") as f:
             f.write(str(label))
+        if n_linked == 64:
+            hd_ok.add(name)
+        else:
+            print(f"[hd] DROPPED {name}: {n_linked}/64 images", flush=True)
     for split_file in ("train_split.txt", "val_split.txt", "names_all.txt"):
-        shutil.copyfile(os.path.join(ds_root, split_file),
-                        os.path.join(hd_root, split_file))
+        with open(os.path.join(ds_root, split_file)) as f:
+            keep = [n for n in f.read().split() if n in hd_ok]
+        with open(os.path.join(hd_root, split_file), "w") as f:
+            f.write("\n".join(keep) + "\n")
 
     all_labels = {**legacy_lab, **new_lab}
     vals = np.array(sorted(all_labels.values()))
@@ -310,7 +348,8 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
         "label_max": int(vals.max()),
         "distinct_labels": int(len(uniq)),
         "label_distribution": {int(u): int(c) for u, c in zip(uniq, cnt)},
-        "stat_budgets_val": None,  # filled by exp_mode7_r4
+        # the val-derived mode/median/mean baselines live in mode7_r4.json
+        # (stat_budgets), computed by exp_mode7_r4 at comparison time
     }
     with open(os.path.join(ART, "dataset300_stats.json"), "w") as f:
         json.dump(artifact, f, indent=1)

@@ -86,7 +86,10 @@ def main():
     for name in objects:
         for method in METHODS:
             key = f"{name}/m{method}"
-            if key in out["rows"]:
+            # resume guard requires a COMPLETE row: a transient failure
+            # (load flake, killed run) leaves a metric-less row that must
+            # retry, not become a permanent hole in the five-method table
+            if key in out["rows"] and "PSNR" in out["rows"][key]:
                 continue
             t0 = time.perf_counter()
             paths = modes.mode_view_planning(

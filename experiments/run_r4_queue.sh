@@ -23,6 +23,17 @@ gate() {
     exit 0
   fi
   say "starting: $1"
+  STEP="$1"
+}
+
+run() {
+  # abort the whole queue when a step's watchdog gives up (exit != 0):
+  # every later step depends on the dataset/checkpoint the failed one
+  # should have produced, and 40 failed attempts means the tunnel is gone
+  if ! "$@"; then
+    say "FAILED: $STEP — aborting queue"
+    exit 1
+  fi
 }
 
 # 0. an earlier session may already be running the dataset job under its own
@@ -56,7 +67,7 @@ fi
 #    is short — if the pre-queue run died before finishing phase A, cap the
 #    extra labeling so downstream jobs still fit in the round.
 gate dataset300
-PRV4_DEADLINE_MIN=90 bash $W 600 $WS /tmp/dataset300.log -- \
+PRV4_DEADLINE_MIN=90 run bash $W 600 $WS /tmp/dataset300.log -- \
   env PRV4_DEADLINE_MIN=90 python -u experiments/exp_dataset300.py --phase all
 
 # 2. corpus extension toward 300 objects BEFORE any training: the pinned
@@ -65,7 +76,7 @@ PRV4_DEADLINE_MIN=90 bash $W 600 $WS /tmp/dataset300.log -- \
 #    20..24 are train-only (roster frozen by step 1's phase B), lifting
 #    train from ~106 to ~170-190 for every predictor trained below.
 gate dataset300-extension
-bash $W 600 $WS /tmp/dataset300_ext.log -- \
+run bash $W 600 $WS /tmp/dataset300_ext.log -- \
   env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=120 \
   python -u experiments/exp_dataset300.py --phase all
 
@@ -73,24 +84,24 @@ bash $W 600 $WS /tmp/dataset300_ext.log -- \
 #    100 epochs (vs the atto arm's r3-comparable 40): best-ckpt selection
 #    makes extra epochs free for the headline metric.
 gate prvnet-tiny720
-bash $W 900 $ART /tmp/tiny720_train.log -- \
+run bash $W 900 $ART /tmp/tiny720_train.log -- \
   python -u experiments/exp_prvnet_r4.py --phase tiny --epochs 100
 
 # 4. the atto@180 scaling-curve arm (same recipe as r3, full expanded
 #    train set — the scaling curve is {r2 24, r3 86, r4 ~170-190})
 gate prvnet-atto-scaling
-bash $W 900 $ART /tmp/atto_scaling.log -- \
+run bash $W 900 $ART /tmp/atto_scaling.log -- \
   python -u experiments/exp_prvnet_r4.py --phase atto
 
 # 5. mode-7 statistics comparison at scale with the live tiny predictor
 gate mode7-r4
-bash $W 600 $WS /tmp/mode7_r4.log -- \
+run bash $W 600 $WS /tmp/mode7_r4.log -- \
   env PRV4_MODE7_DEADLINE_MIN=150 \
   python -u experiments/exp_mode7_r4.py
 
 # 6. mode-21 five-method view-planning table
 gate mode21-r4
-bash $W 600 $WS /tmp/mode21_r4.log -- \
+run bash $W 600 $WS /tmp/mode21_r4.log -- \
   python -u experiments/exp_mode21_r4.py
 
 say "all jobs done"

@@ -13,7 +13,6 @@ set -u
 STALL=$1; PROGRESS_DIR=$2; LOG=$3; shift 3
 [ "$1" = "--" ] && shift
 for attempt in $(seq 1 40); do
-  rm -f /tmp/stop_watchdog.seen
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   T0=$(date +%s)
@@ -53,3 +52,8 @@ for attempt in $(seq 1 40); do
   echo "=== watchdog: job rc=$RC, restarting $(date +%H:%M:%S) ===" >> "$LOG"
   sleep 10
 done
+# all attempts exhausted with the job still failing: report FAILURE so a
+# queue chaining on this watchdog does not launch dependents against
+# missing prerequisites
+echo "=== watchdog: giving up after 40 attempts ===" >> "$LOG"
+exit 1

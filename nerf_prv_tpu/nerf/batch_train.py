@@ -79,19 +79,13 @@ def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key, pool=N
         # one-dispatch RNG, identical semantics to the plain-jit fused path
         # (train._sample_batch_pooled_fused) so dp1/batched comparisons stay
         # like-for-like when the fused default is on
-        from .train import _fused_streams, _pool_ray_batch
+        from .train import _fused_streams, _huber_mean, _pool_ray_batch
 
         r, bg, jitter = _fused_streams(key, cfg.train_rays, pool_n, cfg.n_samples)
         o, d, rgba = _pool_ray_batch(pool[r], pixels_u8, rot, org, camera)
         target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
         rgb, acc = render_rays(params, o, d, cfg, jitter=jitter)
-        rgb = rgb + bg * (1.0 - acc[:, None])
-        err = rgb - target
-        delta = cfg.huber_delta
-        abs_err = jnp.abs(err)
-        huber = jnp.where(abs_err <= delta, 0.5 * err * err,
-                          delta * (abs_err - 0.5 * delta))
-        return jnp.mean(huber)
+        return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
     ks, km, kb, kf, ku, kv = jax.random.split(key, 6)
     n_rays = cfg.train_rays
     h, w = pixels_u8.shape[1:3]
@@ -125,12 +119,9 @@ def _member_loss(params, pixels_u8, rot, org, n_frames, camera, cfg, key, pool=N
     bg = jax.random.uniform(kb, (n_rays, 3))
     target = rgba[:, :3] * rgba[:, 3:4] + bg * (1.0 - rgba[:, 3:4])
     rgb, acc = render_rays(params, o, d, cfg, key=km)
-    rgb = rgb + bg * (1.0 - acc[:, None])
-    err = rgb - target
-    delta = cfg.huber_delta
-    abs_err = jnp.abs(err)
-    huber = jnp.where(abs_err <= delta, 0.5 * err * err, delta * (abs_err - 0.5 * delta))
-    return jnp.mean(huber)
+    from .train import _huber_mean
+
+    return _huber_mean(rgb + bg * (1.0 - acc[:, None]) - target, cfg)
 
 
 @partial(

@@ -37,7 +37,8 @@ _PREFETCH = ThreadPoolExecutor(max_workers=1)
 def _load_u8(path: str, crop: Optional[int]) -> np.ndarray:
     """Cached decode -> RGB uint8, center-cropped."""
     global _cache_bytes
-    key = (path, crop, os.path.getmtime(path))
+    mtime = os.path.getmtime(path)
+    key = (path, crop, mtime)
     with _cache_lock:
         hit = _cache.get(key)
     if hit is not None:
@@ -49,9 +50,18 @@ def _load_u8(path: str, crop: Optional[int]) -> np.ndarray:
         img = center_crop(img, crop)
     img = np.ascontiguousarray(img)
     with _cache_lock:
-        if _cache_bytes + img.nbytes <= _CACHE_MB * 2**20:
-            _cache[key] = img
-            _cache_bytes += img.nbytes
+        # re-check under the lock: two pool threads can race the same key,
+        # and a double insert would count the bytes twice for one retained
+        # array
+        if key not in _cache:
+            # a rewritten file supersedes its older-mtime entry; evict it
+            # so re-rendered datasets don't pin dead bytes against the cap
+            for k in [k for k in _cache if k[0] == path and k[1] == crop]:
+                _cache_bytes -= _cache[k].nbytes
+                del _cache[k]
+            if _cache_bytes + img.nbytes <= _CACHE_MB * 2**20:
+                _cache[key] = img
+                _cache_bytes += img.nbytes
     return img
 
 
@@ -144,9 +154,12 @@ _label_cache: dict = {}
 
 
 def _read_label(path: str) -> int:
-    v = _label_cache.get(path)
+    # mtime-keyed like the image cache: phase drivers rewrite
+    # view_budget.txt when a dataset is rebuilt in the same process
+    key = (path, os.path.getmtime(path))
+    v = _label_cache.get(key)
     if v is None:
-        v = _label_cache[path] = int(np.loadtxt(path))
+        v = _label_cache[key] = int(np.loadtxt(path))
     return v
 
 

@@ -68,6 +68,37 @@ class TrainConfig:
         return self.batch_size // self.accum_steps
 
 
+def _train_micro_batches(ds, cfg: TrainConfig, rng):
+    """Micro-batches for one training epoch, accumulation-correct.
+
+    With ``accum_steps`` k > 1, ``optax.MultiSteps`` weights every
+    micro-gradient 1/k, so correctness of the "effective batch =
+    batch_size" claim needs (a) every micro-batch full (a partial tail
+    would give its few samples a full 1/k group weight) and (b) the number
+    of micro-steps per epoch divisible by k (otherwise applications drift
+    across epoch boundaries and the final partial group is silently
+    dropped at training end).  This yields ``drop_last`` full micro-batches
+    truncated to a multiple of k; the per-epoch reshuffle makes the
+    dropped tail a different random subset each epoch (unbiased in
+    expectation — standard grad-accumulation practice).
+    """
+    k = cfg.accum_steps
+    if k <= 1:
+        yield from ds.batches(cfg.micro_batch, rng=rng)
+        return
+    n_micro = len(ds) // cfg.micro_batch
+    n_keep = (n_micro // k) * k
+    if n_keep == 0:
+        raise ValueError(
+            f"dataset of {len(ds)} samples cannot fill one effective batch "
+            f"({k} x micro {cfg.micro_batch}); lower batch_size/accum_steps"
+        )
+    for i, batch in enumerate(ds.batches(cfg.micro_batch, rng=rng, drop_last=True)):
+        if i >= n_keep:
+            break
+        yield batch
+
+
 def _wd_mask(params):
     """No weight decay on biases and 1-d params (≙ add_weight_decay)."""
 
@@ -266,7 +297,7 @@ def train_regression(
     log_path = os.path.join(checkpoint_dir, "log.jsonl")  # ≙ tensorboardX scalars
     for epoch in range(cfg.epochs):
         losses = []
-        for views, labels in train_ds.batches(cfg.micro_batch, rng=rng):
+        for views, labels in _train_micro_batches(train_ds, cfg, rng):
             views, n_real = pad_to_multiple(views, n_dev)
             labels, _ = pad_to_multiple(labels, n_dev)
             params, opt_state, loss = step(params, opt_state, views, labels)
@@ -357,7 +388,7 @@ def pretrain(
     log_path = os.path.join(checkpoint_dir, "pretrain_log.jsonl")
     for epoch in range(cfg.epochs):
         losses = []
-        for imgs, labels in train_ds.batches(cfg.micro_batch, rng=rng):
+        for imgs, labels in _train_micro_batches(train_ds, cfg, rng):
             imgs, n_real = pad_to_multiple(imgs, n_dev)
             labels, _ = pad_to_multiple(labels, n_dev)
             params, opt_state, loss = step(params, opt_state, imgs, labels)

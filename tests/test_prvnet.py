@@ -27,6 +27,50 @@ from nerf_prv_tpu.prvnet.train import init_model
 SMALL = TrainConfig(arch="convnextv2_atto", batch_size=4, epochs=2, image_size=64)
 
 
+def test_train_micro_batches_accumulation_aligned():
+    """With accum_steps k, every yielded micro-batch must be FULL and the
+    count per epoch a multiple of k — otherwise MultiSteps gives partial
+    tails a full 1/k group weight and applications drift across epochs."""
+    from nerf_prv_tpu.prvnet.train import _train_micro_batches
+
+    class FakeDS:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def batches(self, bs, rng=None, drop_last=False):
+            order = np.arange(self.n)
+            if rng is not None:
+                rng.shuffle(order)
+            stop = self.n - self.n % bs if drop_last else self.n
+            for s in range(0, stop, bs):
+                idx = order[s : s + bs]
+                yield np.zeros((len(idx), 1)), idx.astype(np.float32)
+
+    # 106 samples, micro 8, k=8 -> 13 full micro-batches -> keep 8
+    cfg = TrainConfig(arch="convnextv2_atto", batch_size=64, accum_steps=8)
+    got = list(_train_micro_batches(FakeDS(106), cfg, np.random.default_rng(0)))
+    assert len(got) == 8
+    assert all(len(lbl) == 8 for _, lbl in got)
+    # k=1 passes through untruncated (incl. the partial tail)
+    cfg1 = TrainConfig(arch="convnextv2_atto", batch_size=8)
+    got1 = list(_train_micro_batches(FakeDS(10), cfg1, None))
+    assert sum(len(lbl) for _, lbl in got1) == 10
+    # too small to fill one effective batch -> explicit error
+    with pytest.raises(ValueError):
+        list(_train_micro_batches(FakeDS(7), cfg, None))
+    # different epochs drop different tails (per-epoch reshuffle)
+    rng = np.random.default_rng(1)
+    seen = [
+        {int(i) for _, lbl in _train_micro_batches(FakeDS(106), cfg, rng)
+         for i in lbl}
+        for _ in range(4)
+    ]
+    assert set.union(*seen) > seen[0]
+
+
 def test_grad_accumulation_matches_full_batch():
     """optax.MultiSteps with equal-size micro-batches averages the k
     micro-grad means into the full-batch grad mean, so accum_steps=2 over
