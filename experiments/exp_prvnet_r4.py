@@ -109,6 +109,11 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
 
     artifact = {
         "arch": arch,
+        "encoder_init": "pvb_pretrain",  # ImageNet weights unavailable in
+        # the zero-egress env; the torch->Flax ImageNet converter exists
+        # (prvnet/infer.py:load_pretrained_encoder) but has no checkpoint
+        # to load, so the single-view PVB pretrain stage provides the
+        # encoder init (two-stage, ≙ --pre_train + --premodel_file)
         "image_size": crop,
         "batch_size": batch_size,
         "accum_steps": accum_steps,
