@@ -77,7 +77,7 @@ PRV4_DEADLINE_MIN=90 run bash $W 600 $WS /tmp/dataset300.log -- \
 #    train from ~106 to ~170-190 for every predictor trained below.
 gate dataset300-extension
 run bash $W 600 $WS /tmp/dataset300_ext.log -- \
-  env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=120 \
+  env PRV4_INDEX_END=25 PRV4_DEADLINE_MIN=60 \
   python -u experiments/exp_dataset300.py --phase all
 
 # 3. PRVNet at the reference configuration (tiny@720, effective batch 64).
