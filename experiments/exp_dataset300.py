@@ -237,25 +237,42 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     # extensions only ever grow the train split, so mode-7/mode-21 results
     # computed against the roster stay valid (no post-hoc leakage).
     stats_path = os.path.join(ART, "dataset300_stats.json")
-    test = None
+    prev_test, ever_trained = [], []
     if os.path.exists(stats_path):
         with open(stats_path) as f:
-            prev_test = json.load(f).get("test", [])
-        # pin only a FULL roster: a deadline-cut phase A can freeze an
-        # undersized set otherwise.  Re-matching is safe while the dataset
-        # steps run — the queue orders every labeling/phase-B pass before
-        # mode-7/mode-21 consume the roster.  Once mode-7 has STARTED
-        # consuming it (mode7_r4.json exists), pin unconditionally: its
-        # per-object rows must stay out of every later train split.
-        consumed = os.path.exists(os.path.join(ART, "mode7_r4.json"))
-        ok_pool = all(n in new_lab for n in prev_test)
-        if prev_test and ok_pool and (consumed or len(prev_test) >= N_TEST):
-            test = sorted(prev_test)
-            print(f"[dataset] pinned test roster ({len(test)})", flush=True)
-    if test is None:
+            prev_stats = json.load(f)
+        prev_test = prev_stats.get("test", [])
+        ever_trained = prev_stats.get("ever_trained_new", [])
+    # Roster rules (leakage-safe across sessions AND rounds):
+    #  - once mode-7 has STARTED consuming the roster (mode7_r4.json
+    #    exists), every previously-rostered object is PINNED in test —
+    #    its rows must stay out of all later train splits;
+    #  - the roster may still GROW toward N_TEST, but only with new
+    #    objects that have NEVER been in a train split (ever_trained_new
+    #    records those) — an object a committed predictor trained on can
+    #    never become a test object;
+    #  - before consumption, a full re-match is allowed (deadline-cut
+    #    phase A must not freeze an undersized set).
+    consumed = os.path.exists(os.path.join(ART, "mode7_r4.json"))
+    ok_pool = all(n in new_lab for n in prev_test)
+    if prev_test and ok_pool and (consumed or len(prev_test) >= N_TEST):
+        test = sorted(prev_test)
+        print(f"[dataset] pinned test roster ({len(test)})", flush=True)
+        if len(test) < N_TEST:
+            growth_pool = {n: l for n, l in new_lab.items()
+                           if n not in test and n not in ever_trained}
+            if growth_pool:
+                grown = match_distribution(
+                    val_labels, growth_pool, n_test=N_TEST - len(test),
+                    seed=cfg.seed)
+                test = sorted(set(test) | set(grown))
+                print(f"[dataset] roster grown to {len(test)} "
+                      f"(+{len(grown)} never-trained)", flush=True)
+    else:
         test = sorted(match_distribution(val_labels, new_lab, n_test=N_TEST,
                                          seed=cfg.seed))
     train_new = sorted(set(new_lab) - set(test))
+    ever_trained = sorted(set(ever_trained) | set(train_new))
 
     # reconstruct minimal LabelResults: only converged + gradient[1] feed
     # select_labels/build_dataset; curves are not used downstream here
@@ -341,6 +358,7 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
         "n_val": len(val),
         "n_test": len(test),
         "test": test,
+        "ever_trained_new": ever_trained,
         "val": val,
         "label_mean": round(float(vals.mean()), 2),
         "label_std": round(float(vals.std(ddof=1)), 2),

@@ -24,7 +24,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-ROOT = "/tmp/prv3_ws"
+# Round 4+: the workspace must survive builder-session restarts (/tmp is
+# wiped with the VM).  It lives inside the repo tree but is gitignored —
+# images/checkpoints are regenerable artifacts, not source.  PRV_WS_ROOT
+# overrides for tests / throwaway runs.
+ROOT = os.environ.get(
+    "PRV_WS_ROOT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".workspace", "prv3_ws"))
 
 PILOT = (
     ["uni0", "uni7", "ell0", "ell7", "clu0", "clu7", "cup0", "cup7",
