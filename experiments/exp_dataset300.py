@@ -154,21 +154,21 @@ def phase_a_labels(cfg, names, deadline_min):
         times = prev.get("seconds_per_object", {})
 
     nerf_cfg = NerfConfig(n_steps=cfg.n_steps)
-    # the deadline must survive watchdog restarts (each relaunch would
-    # otherwise reset it and the budget becomes per-attempt): anchor to a
-    # wall-clock t0 persisted in the artifact on first run
+    # The budget is CUMULATIVE labeling minutes already invested in this
+    # corpus (sum of per-object wall seconds persisted in the artifact):
+    # restart-proof (a watchdog relaunch does not reset it) and
+    # session-proof (a wall-clock anchor would go stale across VM
+    # restarts and zero the next session's budget).  deadline_min thus
+    # means "stop once this much total labeling work exists".
     prev_meta = {}
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev_meta = json.load(f)
-    # keyed by roster end so the INDEX_END=25 extension run gets a fresh
-    # budget instead of inheriting the first run's exhausted anchor
-    t0_key = f"phase_a_t0_end{NEW_INDICES.stop}"
-    t0_wall = prev_meta.get(t0_key) or time.time()
     for i, name in enumerate(names):
-        if name not in objects and \
-                (time.time() - t0_wall) / 60.0 > deadline_min:
-            print(f"[labels] deadline after {len(objects)} objects", flush=True)
+        spent_min = sum(times.values()) / 60.0
+        if name not in objects and spent_min > deadline_min:
+            print(f"[labels] budget spent ({spent_min:.0f} min) after "
+                  f"{len(objects)} objects", flush=True)
             break
         obj_cfg = cfg.replace(name_of_pcd=name)
         if name in objects and _pvb_done(obj_cfg, hd64=False):
@@ -193,9 +193,6 @@ def phase_a_labels(cfg, names, deadline_min):
               f"converged={res.converged} ({dt}s)", flush=True)
         fresh_times = [t for t in times.values() if t > 5]
         artifact = {
-            **{k: v for k, v in prev_meta.items()
-               if k.startswith("phase_a_t0_")},
-            t0_key: t0_wall,
             "objects": objects,
             "n_done": len(objects),
             "distinct_labels": sorted({o["label"] for o in objects.values()
