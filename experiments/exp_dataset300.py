@@ -81,25 +81,36 @@ def _pvb_cfg(cfg):
     return cfg.replace(camera=CameraConfig())
 
 
-def _render_pvb_sets(scene, obj_cfg, hd64=True):
-    """``hd64=False`` defers the expensive 64-view 1280x720 render (phase A
-    labels every new object but only the ones that join the TRAIN split need
-    hd/64; phase B renders it for exactly those)."""
+# The hd (1280x720) training view space is HD_VIEWS wide, not 64: the
+# regression stage reads only pattern [0..4] (≙ train_regression.py:237,
+# IMG_PATTERN[4]) and the single-view pretrain treats each view as an
+# independent sample, so 16 well-spread views keep 16x120 ≈ 1900 pretrain
+# samples while cutting the dominant regen cost (64x1280x720x4 ≈ 236 MB
+# of tunnel transfer per object) by 4x.  The qcam (320x180) dataset keeps
+# the full 64-view reference format.  Recorded in every artifact that
+# trains on the hd set.
+HD_VIEWS = int(os.environ.get("PRV4_HD_VIEWS", 16))
+
+
+def _render_pvb_sets(scene, obj_cfg, hd_train=True):
+    """``hd_train=False`` defers the expensive 1280x720 training-set render
+    (phase A labels every new object but only the ones that join the TRAIN
+    split need hd/HD_VIEWS; phase B renders it for exactly those)."""
     from nerf_prv_tpu.pipeline.coverage import get_coverage
 
     get_coverage(scene, obj_cfg, 64)   # qcam (round-3 protocol, atto arm)
     hd_cfg = _pvb_cfg(obj_cfg)
     hd = os.path.join(obj_cfg.gt_path, "hd")
-    if hd64:
-        get_coverage(scene, hd_cfg, 64, gt_path=hd)  # 1280x720 (tiny@720 arm)
-    get_coverage(scene, hd_cfg, 5, gt_path=hd)       # live-infer init space
+    if hd_train:
+        get_coverage(scene, hd_cfg, HD_VIEWS, gt_path=hd)  # tiny@720 arm
+    get_coverage(scene, hd_cfg, 5, gt_path=hd)             # live-infer init
 
 
-def _pvb_done(obj_cfg, hd64=True):
+def _pvb_done(obj_cfg, hd_train=True):
     gp = obj_cfg.gt_path
     want = ["64.json", os.path.join("hd", "5.json")]
-    if hd64:
-        want.append(os.path.join("hd", "64.json"))
+    if hd_train:
+        want.append(os.path.join("hd", f"{HD_VIEWS}.json"))
     return all(os.path.exists(os.path.join(gp, p)) for p in want)
 
 
@@ -171,7 +182,7 @@ def phase_a_labels(cfg, names, deadline_min):
                   f"{len(objects)} objects", flush=True)
             break
         obj_cfg = cfg.replace(name_of_pcd=name)
-        if name in objects and _pvb_done(obj_cfg, hd64=False):
+        if name in objects and _pvb_done(obj_cfg, hd_train=False):
             continue  # cheap restart: fully done, skip all setup
         t0 = time.perf_counter()
         make_family_object(name, model_dir)
@@ -180,7 +191,7 @@ def phase_a_labels(cfg, names, deadline_min):
         modes.mode_get_coverage(cfg, [name])
         scene = load_object(obj_cfg, name)
         if scene.ok:
-            _render_pvb_sets(scene, obj_cfg, hd64=False)
+            _render_pvb_sets(scene, obj_cfg, hd_train=False)
         modes.mode_instant_ngp(cfg, [name], nerf_cfg=nerf_cfg)
         modes.mode_fit_labels(cfg, [name])
         res = parse_label_file(label_path)
@@ -211,6 +222,47 @@ def phase_a_labels(cfg, names, deadline_min):
     return objects
 
 
+def select_roster(prev_test, ever_trained, new_lab, val_labels,
+                  n_test, seed, consumed, trained_on_disk=()):
+    """Leakage-safe mode-7 roster selection (unit-tested in
+    tests/test_experiments.py):
+
+    - once mode-7 has STARTED consuming the roster (``consumed``), every
+      previously-rostered object is PINNED in test — its rows must stay
+      out of all later train splits;
+    - the roster may still GROW toward ``n_test``, but only with new
+      objects that have NEVER been in a train split — an object a
+      committed predictor trained on can never become a test object;
+    - before consumption, a full re-match is allowed (a deadline-cut
+      phase A must not freeze an undersized set), subject to the same
+      never-trained constraint.
+
+    Returns (test, ever_trained_updated)."""
+    from nerf_prv_tpu.pipeline.compare import match_distribution
+
+    ever = set(ever_trained) | {n for n in trained_on_disk if n in new_lab}
+    ok_pool = all(n in new_lab for n in prev_test)
+    if prev_test and ok_pool and (consumed or len(prev_test) >= n_test):
+        test = sorted(prev_test)
+        print(f"[dataset] pinned test roster ({len(test)})", flush=True)
+        if len(test) < n_test:
+            growth_pool = {n: l for n, l in new_lab.items()
+                           if n not in test and n not in ever}
+            if growth_pool:
+                grown = match_distribution(
+                    val_labels, growth_pool, n_test=n_test - len(test),
+                    seed=seed)
+                test = sorted(set(test) | set(grown))
+                print(f"[dataset] roster grown to {len(test)} "
+                      f"(+{len(grown)} never-trained)", flush=True)
+    else:
+        pool = {n: l for n, l in new_lab.items() if n not in ever}
+        test = sorted(match_distribution(val_labels, pool, n_test=n_test,
+                                         seed=seed))
+    train_new = sorted(set(new_lab) - set(test))
+    return test, sorted(ever | set(train_new))
+
+
 def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     """Expanded dataset: legacy split kept, new minus the mode-7 test set."""
     from nerf_prv_tpu.labeling.dataset import (
@@ -219,8 +271,6 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     from nerf_prv_tpu.labeling.labels import (
         LabelResult, N_GAPS, N_GRADIENTS, X_EVAL,
     )
-    from nerf_prv_tpu.pipeline.compare import match_distribution
-
     def usable(objs):
         return {n: o["label"] for n, o in objs.items()
                 if o["converged"] and MIN_VIEWS <= o["label"] <= MAX_VIEWS}
@@ -240,36 +290,21 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
             prev_stats = json.load(f)
         prev_test = prev_stats.get("test", [])
         ever_trained = prev_stats.get("ever_trained_new", [])
-    # Roster rules (leakage-safe across sessions AND rounds):
-    #  - once mode-7 has STARTED consuming the roster (mode7_r4.json
-    #    exists), every previously-rostered object is PINNED in test —
-    #    its rows must stay out of all later train splits;
-    #  - the roster may still GROW toward N_TEST, but only with new
-    #    objects that have NEVER been in a train split (ever_trained_new
-    #    records those) — an object a committed predictor trained on can
-    #    never become a test object;
-    #  - before consumption, a full re-match is allowed (deadline-cut
-    #    phase A must not freeze an undersized set).
+    # belt-and-braces: any NEW object already sitting in an on-disk train
+    # split was (or will be) seen by a committed predictor — it may never
+    # migrate into the test roster, even if an older phase B predates the
+    # ever_trained_new record
+    trained_on_disk = []
+    for ds in ("pvb_dataset", "pvb_dataset_hd"):
+        split = os.path.join(cfg.workspace, ds, "train_split.txt")
+        if os.path.exists(split):
+            with open(split) as f:
+                trained_on_disk.extend(f.read().split())
     consumed = os.path.exists(os.path.join(ART, "mode7_r4.json"))
-    ok_pool = all(n in new_lab for n in prev_test)
-    if prev_test and ok_pool and (consumed or len(prev_test) >= N_TEST):
-        test = sorted(prev_test)
-        print(f"[dataset] pinned test roster ({len(test)})", flush=True)
-        if len(test) < N_TEST:
-            growth_pool = {n: l for n, l in new_lab.items()
-                           if n not in test and n not in ever_trained}
-            if growth_pool:
-                grown = match_distribution(
-                    val_labels, growth_pool, n_test=N_TEST - len(test),
-                    seed=cfg.seed)
-                test = sorted(set(test) | set(grown))
-                print(f"[dataset] roster grown to {len(test)} "
-                      f"(+{len(grown)} never-trained)", flush=True)
-    else:
-        test = sorted(match_distribution(val_labels, new_lab, n_test=N_TEST,
-                                         seed=cfg.seed))
+    test, ever_trained = select_roster(
+        prev_test, ever_trained, new_lab, val_labels, N_TEST, cfg.seed,
+        consumed, trained_on_disk)
     train_new = sorted(set(new_lab) - set(test))
-    ever_trained = sorted(set(ever_trained) | set(train_new))
 
     # reconstruct minimal LabelResults: only converged + gradient[1] feed
     # select_labels/build_dataset; curves are not used downstream here
@@ -304,12 +339,12 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     for name in sorted(info["labels"]):
         obj_cfg = cfg.replace(name_of_pcd=name)
         hd = os.path.join(obj_cfg.gt_path, "hd")
-        if os.path.exists(os.path.join(hd, "64.json")):
+        if os.path.exists(os.path.join(hd, f"{HD_VIEWS}.json")):
             continue
         scene = load_object(obj_cfg, name)
         if scene.ok:
-            get_coverage(scene, _pvb_cfg(obj_cfg), 64, gt_path=hd)
-            print(f"[hd64] rendered {name}", flush=True)
+            get_coverage(scene, _pvb_cfg(obj_cfg), HD_VIEWS, gt_path=hd)
+            print(f"[hd{HD_VIEWS}] rendered {name}", flush=True)
 
     # parallel hd dataset (1280x720 images) for the tiny@720 reference
     # config: same names, same labels.  An object whose hd/64 render is
@@ -322,9 +357,9 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
     for name, label in info["labels"].items():
         obj_dir = os.path.join(hd_root, name)
         os.makedirs(obj_dir, exist_ok=True)
-        src_dir = os.path.join(coverage_root, name, "hd", "64")
+        src_dir = os.path.join(coverage_root, name, "hd", str(HD_VIEWS))
         n_linked = 0
-        for j in range(64):
+        for j in range(HD_VIEWS):
             src = os.path.join(src_dir, f"rgbaClip_{j}.png")
             dst = os.path.join(obj_dir, f"rgbaClip_{j}.png")
             if os.path.exists(dst):
@@ -334,10 +369,11 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
                 n_linked += 1
         with open(os.path.join(obj_dir, "view_budget.txt"), "w") as f:
             f.write(str(label))
-        if n_linked == 64:
+        if n_linked == HD_VIEWS:
             hd_ok.add(name)
         else:
-            print(f"[hd] DROPPED {name}: {n_linked}/64 images", flush=True)
+            print(f"[hd] DROPPED {name}: {n_linked}/{HD_VIEWS} images",
+                  flush=True)
     for split_file in ("train_split.txt", "val_split.txt", "names_all.txt"):
         with open(os.path.join(ds_root, split_file)) as f:
             keep = [n for n in f.read().split() if n in hd_ok]

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+from exp_dataset300 import HD_VIEWS
 from exp_label_spread import ROOT
 
 ART = os.environ.get(
@@ -72,7 +73,7 @@ def _val_metrics(tcfg, ckpt_dir, ds_root, val_split, pattern, mesh):
 
 def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
                   pretrain_epochs, epochs, pretrain_batch=None,
-                  pretrain_accum=None):
+                  pretrain_accum=None, viewspace_size=64):
     from nerf_prv_tpu.parallel.mesh import make_mesh
     from nerf_prv_tpu.prvnet import TrainConfig, train_regression
     from nerf_prv_tpu.prvnet.model import IMG_PATTERN
@@ -92,7 +93,8 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
     )
     t0 = time.perf_counter()
     _, pre_best = pretrain(ds_root, train_split, val_split, cfg=pre_cfg,
-                           checkpoint_dir=pre_dir, log_every=1, mesh=mesh)
+                           checkpoint_dir=pre_dir, log_every=1, mesh=mesh,
+                           viewspace_size=viewspace_size)
     t_pre = time.perf_counter() - t0
 
     tcfg = TrainConfig(arch=arch, batch_size=batch_size,
@@ -115,6 +117,7 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
         # to load, so the single-view PVB pretrain stage provides the
         # encoder init (two-stage, ≙ --pre_train + --premodel_file)
         "image_size": crop,
+        "viewspace_size": viewspace_size,
         "batch_size": batch_size,
         "accum_steps": accum_steps,
         "n_train": n_train,
@@ -147,6 +150,9 @@ def main():
             ds_root=os.path.join(ws, "pvb_dataset_hd"), tag="prvnet_tiny720",
             batch_size=64, accum_steps=8,          # ≙ batch 64 (8x8 micro)
             pretrain_epochs=2, epochs=args.epochs or 40,
+            # the hd set is HD_VIEWS wide (regen-cost tradeoff recorded in
+            # exp_dataset300.HD_VIEWS); pattern [0..4] is a strict subset
+            viewspace_size=HD_VIEWS,
         )
         out = os.path.join(ART, "prvnet_tiny720.json")
     else:

@@ -61,6 +61,14 @@ run() {
   fi
 }
 
+# short label top-up BEFORE mode-7: grows the never-trained pool so the
+# roster phase B freezes is ~2x the 14 objects currently labeled (budget
+# is CUMULATIVE labeling minutes — 75 total ≈ 35 fresh minutes ≈ +13
+# objects), then reassembles the dataset + roster
+gate label-topup-short
+run bash $W 600 $WS /tmp/label_topup.log -- \
+  env PRV4_DEADLINE_MIN=75 python -u experiments/exp_dataset300.py --phase all
+
 gate mode7-r4
 run bash $W 600 $WS /tmp/mode7_r4.log -- \
   env PRV4_MODE7_DEADLINE_MIN=45 \

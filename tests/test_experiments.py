@@ -1,0 +1,88 @@
+"""Tests for experiment-driver logic that guards scientific validity.
+
+The measurement drivers in experiments/ are not product code, but the
+mode-7 roster selection decides which objects may appear in the held-out
+test set across sessions and rounds — a leak there invalidates the
+flagship comparison (≙ the reference's held-out protocol,
+PRV_simulation/main.cpp:2904-2984), so it gets unit coverage like any
+subsystem.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+
+
+@pytest.fixture(scope="module")
+def select_roster():
+    from exp_dataset300 import select_roster as fn
+
+    return fn
+
+
+def _labels(names, label=30):
+    return {n: label for n in names}
+
+
+VAL = _labels(["v1", "v2", "v3"], 30)
+
+
+def test_rematch_before_consumption(select_roster):
+    """An undersized, unconsumed roster is fully re-matched from the pool."""
+    new = _labels(["a", "b", "c", "d"])
+    test, ever = select_roster([], [], new, VAL, n_test=3, seed=0,
+                               consumed=False)
+    assert len(test) == 3
+    # everything not rostered becomes train and is recorded as trained
+    assert set(ever) == set(new) - set(test)
+
+
+def test_pinned_once_consumed(select_roster):
+    """Consumed roster objects never leave the test set."""
+    new = _labels(["a", "b", "c", "d", "e"])
+    test, _ = select_roster(["a", "b"], [], new, VAL, n_test=2, seed=0,
+                            consumed=True)
+    assert test == ["a", "b"]
+
+
+def test_growth_excludes_ever_trained(select_roster):
+    """Roster growth only admits objects no predictor ever trained on."""
+    new = _labels(["a", "b", "c", "d", "e"])
+    test, ever = select_roster(["a"], ["b", "c"], new, VAL, n_test=3, seed=0,
+                               consumed=True)
+    assert "a" in test and len(test) <= 3
+    assert "b" not in test and "c" not in test
+    # grown members come only from the never-trained pool {d, e}
+    assert set(test) - {"a"} <= {"d", "e"}
+    assert {"b", "c"} <= set(ever)
+
+
+def test_growth_excludes_on_disk_train_split(select_roster):
+    """A train_split.txt written before ever_trained_new existed still
+    blocks migration into the roster (belt-and-braces guard)."""
+    new = _labels(["a", "b", "c"])
+    test, ever = select_roster(["a"], [], new, VAL, n_test=3, seed=0,
+                               consumed=True, trained_on_disk=["b", "zz"])
+    assert "b" not in test
+    assert "b" in ever and "zz" not in ever  # legacy names are not "new"
+
+
+def test_rematch_excludes_ever_trained(select_roster):
+    """Even the pre-consumption full re-match may not grab a trained
+    object (a failed mode-7 run must not create a leak window)."""
+    new = _labels(["a", "b", "c", "d"])
+    test, _ = select_roster(["a"], ["b"], new, VAL, n_test=10, seed=0,
+                            consumed=False)
+    assert "b" not in test
+
+
+def test_stale_roster_dropped_when_pool_changes(select_roster):
+    """A pinned name missing from the usable pool forces a re-match
+    (labels file rebuilt, object rejected as unusable, ...)."""
+    new = _labels(["c", "d"])
+    test, _ = select_roster(["gone"], [], new, VAL, n_test=2, seed=0,
+                            consumed=False)
+    assert "gone" not in test and len(test) == 2
