@@ -20,9 +20,12 @@ def _j(name):
 def main():
     d = _j("dataset300_labels.json")
     if d:
+        spent = sum(d.get("seconds_per_object", {}).values()) / 60.0
         print(f"labels: {d['n_done']} new objects, "
               f"{len(d['distinct_labels'])} distinct, "
-              f"median {d['seconds_per_object_median']}s/obj")
+              f"median {d['seconds_per_object_median']}s/obj, "
+              f"cumulative spend {spent:.0f} min "
+              f"(PRV4_DEADLINE_MIN compares against this)")
     else:
         print("labels: not started")
     s = _j("dataset300_stats.json")
@@ -60,8 +63,15 @@ def main():
               f"summary: { {k: v.get('PSNR', {}).get('mean') for k, v in m21.get('summary', {}).items()} }")
     else:
         print("mode21: not run")
+    ws = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".workspace", "prv3_ws")
+    cov = os.path.join(ws, "ws", "Coverage_images", "ShapeNet")
+    n_cov = len(os.listdir(cov)) if os.path.isdir(cov) else 0
+    print(f"workspace: {'PRESENT' if n_cov else 'MISSING'} "
+          f"({n_cov} objects with coverage images at {cov})")
     for log in ("dataset300", "dataset300_ext", "tiny720_train",
-                "atto_scaling", "mode7_r4", "mode21_r4", "r4_queue"):
+                "atto_scaling", "mode7_r4", "mode21_r4", "label_topup",
+                "r4_queue", "r4s2_queue", "r4s2b_queue"):
         p = f"/tmp/{log}.log"
         if os.path.exists(p):
             with open(p, "rb") as f:
