@@ -145,16 +145,20 @@ def main():
     ws = os.path.join(ROOT, "ws")
 
     if args.phase == "tiny":
+        # PRV4_TINY_TAG gives a later corpus extension a FRESH scaling
+        # point (new ckpt dir + artifact) instead of auto-resuming the
+        # first tiny720 best checkpoint
+        tiny_tag = os.environ.get("PRV4_TINY_TAG", "prvnet_tiny720")
         art = run_two_stage(
             arch="convnextv2_tiny", crop=720,
-            ds_root=os.path.join(ws, "pvb_dataset_hd"), tag="prvnet_tiny720",
+            ds_root=os.path.join(ws, "pvb_dataset_hd"), tag=tiny_tag,
             batch_size=64, accum_steps=8,          # ≙ batch 64 (8x8 micro)
             pretrain_epochs=2, epochs=args.epochs or 40,
             # the hd set is HD_VIEWS wide (regen-cost tradeoff recorded in
             # exp_dataset300.HD_VIEWS); pattern [0..4] is a strict subset
             viewspace_size=HD_VIEWS,
         )
-        out = os.path.join(ART, "prvnet_tiny720.json")
+        out = os.path.join(ART, f"{tiny_tag}.json")
     else:
         # PRV4_ATTO_TAG lets the end-of-queue corpus extension train a FRESH
         # scaling point (new ckpt dir + artifact) instead of resuming the
