@@ -50,10 +50,17 @@ S=$(spent)
 run bash $W 600 $WS /tmp/dataset300.log -- \
   env PRV4_DEADLINE_MIN=$S python -u experiments/exp_dataset300.py --phase all
 
-if [ ! -f $ART/prvnet_tiny720_ckpt/best_checkpoint.msgpack ]; then
+# Gate on the artifact JSON, not the checkpoint: session 3 ran out of
+# round mid-training, leaving a best_checkpoint.msgpack from a PARTIAL run
+# (~epoch 30 of 100).  run_two_stage writes the JSON only on completion,
+# and train_regression auto-resumes from the best checkpoint, so re-running
+# here CONTINUES the session-3 weights rather than retraining from scratch.
+# Cost reality (session 3, 127-object corpus): ~17 min warm-up (hd decode +
+# 2x140 s compile) + ~2 min/epoch including the every-2-epoch val pass.
+if [ ! -f $ART/prvnet_tiny720.json ]; then
   gate prvnet-tiny720
   run bash $W 900 $ART /tmp/tiny720_train.log -- \
-    python -u experiments/exp_prvnet_r4.py --phase tiny --epochs 100
+    python -u experiments/exp_prvnet_r4.py --phase tiny --epochs 40
 fi
 
 gate mode7-catchup
