@@ -242,12 +242,24 @@ def select_roster(prev_test, ever_trained, new_lab, val_labels,
 
     ever = set(ever_trained) | {n for n in trained_on_disk if n in new_lab}
     ok_pool = all(n in new_lab for n in prev_test)
-    if prev_test and ok_pool and (consumed or len(prev_test) >= n_test):
-        test = sorted(prev_test)
+    if prev_test and consumed:
+        # mode-7 rows exist: every previously-rostered object is pinned out
+        # of train FOREVER, even if a relabel made it unusable (advisor r4:
+        # a full re-match here would silently migrate surviving test
+        # objects into train_new while their mode-7 rows persist).  Keep
+        # the usable survivors in test, bar the dropped ones from train,
+        # and grow around them.
+        test = sorted(n for n in prev_test if n in new_lab)
+        dropped = sorted(set(prev_test) - set(test))
+        if dropped:
+            print(f"[dataset] WARNING: {len(dropped)} consumed roster "
+                  f"object(s) unusable after relabel, still barred from "
+                  f"train: {dropped}", flush=True)
         print(f"[dataset] pinned test roster ({len(test)})", flush=True)
         if len(test) < n_test:
             growth_pool = {n: l for n, l in new_lab.items()
-                           if n not in test and n not in ever}
+                           if n not in test and n not in ever
+                           and n not in prev_test}
             if growth_pool:
                 grown = match_distribution(
                     val_labels, growth_pool, n_test=n_test - len(test),
@@ -255,6 +267,11 @@ def select_roster(prev_test, ever_trained, new_lab, val_labels,
                 test = sorted(set(test) | set(grown))
                 print(f"[dataset] roster grown to {len(test)} "
                       f"(+{len(grown)} never-trained)", flush=True)
+        train_new = sorted(set(new_lab) - set(test) - set(prev_test))
+        return test, sorted(ever | set(train_new))
+    if prev_test and ok_pool and len(prev_test) >= n_test:
+        test = sorted(prev_test)
+        print(f"[dataset] pinned test roster ({len(test)})", flush=True)
     else:
         pool = {n: l for n, l in new_lab.items() if n not in ever}
         test = sorted(match_distribution(val_labels, pool, n_test=n_test,
@@ -362,11 +379,28 @@ def phase_b_dataset(cfg, legacy, legacy_val, new_objects):
         for j in range(HD_VIEWS):
             src = os.path.join(src_dir, f"rgbaClip_{j}.png")
             dst = os.path.join(obj_dir, f"rgbaClip_{j}.png")
-            if os.path.exists(dst):
+            # a pre-existing dst may link to a DIFFERENT hd render (e.g. a
+            # 64-view run before the HD_VIEWS=16 change — same index j,
+            # different camera pose): validate identity, relink on mismatch
+            # (advisor r4)
+            if os.path.exists(dst) and (not os.path.exists(src)
+                                        or os.path.samefile(src, dst)):
                 n_linked += 1
             elif os.path.exists(src):
+                if os.path.exists(dst):
+                    os.remove(dst)
                 os.link(src, dst)  # hardlink: zero extra bytes
                 n_linked += 1
+        # drop stale images from a larger earlier view space so the dir
+        # matches the recorded viewspace_size (advisor r4)
+        for stale in os.listdir(obj_dir):
+            if stale.startswith("rgbaClip_") and stale.endswith(".png"):
+                try:
+                    j = int(stale[len("rgbaClip_"):-len(".png")])
+                except ValueError:
+                    continue
+                if j >= HD_VIEWS:
+                    os.remove(os.path.join(obj_dir, stale))
         with open(os.path.join(obj_dir, "view_budget.txt"), "w") as f:
             f.write(str(label))
         if n_linked == HD_VIEWS:

@@ -5,6 +5,18 @@
 # -> atto -> mode-21) takes over the chip.  Read-only /proc scan; never
 # kills anything.  Safe to run repeatedly; exits once the flag is set.
 set -u
+# part A's PID (or a pidfile containing it) MUST be passed in — a
+# hardcoded PID from a dead session would make the watcher exit instantly
+# as "part A gone" without ever setting the flag (advisor r4)
+if [ $# -lt 1 ]; then
+  echo "usage: $0 <partA-pid | partA-pidfile>" >&2
+  exit 2
+fi
+PARTA="$1"
+if [ -f "$PARTA" ]; then PARTA=$(cat "$PARTA"); fi
+case "$PARTA" in
+  ''|*[!0-9]*) echo "[watcher] invalid part-A PID: '$PARTA'" >&2; exit 2 ;;
+esac
 seen_prvnet() {
   for d in /proc/[0-9]*; do
     p=${d#/proc/}
@@ -27,8 +39,8 @@ while true; do
   fi
   # if part A is gone entirely (failed or finished), part B takes over on
   # its own; nothing to do
-  if ! ps -p 963 > /dev/null 2>&1; then
-    echo "[watcher] part A (963) gone; exiting $(date +%H:%M:%S)"
+  if ! ps -p "$PARTA" > /dev/null 2>&1; then
+    echo "[watcher] part A ($PARTA) gone; exiting $(date +%H:%M:%S)"
     exit 0
   fi
   sleep 30

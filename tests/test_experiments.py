@@ -86,3 +86,28 @@ def test_stale_roster_dropped_when_pool_changes(select_roster):
     test, _ = select_roster(["gone"], [], new, VAL, n_test=2, seed=0,
                             consumed=False)
     assert "gone" not in test and len(test) == 2
+
+def test_consumed_survivors_pinned_when_one_drops(select_roster):
+    """Advisor r4 (medium): if a relabel pushes a consumed roster object
+    out of the usable pool, the SURVIVING consumed objects must stay
+    pinned in test (no full re-match migrating them into train), and the
+    dropped object must stay barred from train too."""
+    new = _labels(["b", "c", "d", "e"])  # "a" dropped out of the pool
+    test, ever = select_roster(["a", "b"], [], new, VAL, n_test=2, seed=0,
+                               consumed=True)
+    assert "b" in test           # survivor stays pinned
+    assert "a" not in test       # unusable: cannot be tested...
+    assert "a" not in ever       # ...but must never enter train either
+    assert "b" not in ever
+
+
+def test_consumed_dropped_object_never_returns_to_train(select_roster):
+    """A dropped-then-relabeled-back object may rejoin TEST (growth), but
+    never train: it is excluded from train_new even while unusable, and
+    growth around survivors never pulls from prev_test directly."""
+    new = _labels(["a", "b", "c", "d"])  # "a" is usable again
+    test, ever = select_roster(["a", "b"], [], new, VAL, n_test=2, seed=0,
+                               consumed=True)
+    # n_test already met by survivors+a? prev_test fully usable -> both pin
+    assert set(test) == {"a", "b"}
+    assert "a" not in ever and "b" not in ever
