@@ -34,11 +34,53 @@ the ~20 s remote compile pollutes the measurement.
 import dataclasses
 import json
 import os
+import re
+import sys
 import time
 
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 2e7
+
+# processes that legitimately hold the single tunnel chip; bench must not
+# measure while any is alive (round-4 postmortem: the official capture ran
+# against a contended chip and recorded a -12% artifact)
+_CHIP_JOB_RE = re.compile(r"experiments/exp_|train_server|infer_server")
+
+
+def _chip_jobs():
+    """PIDs of known chip-holding jobs (read-only /proc scan, never kills)."""
+    me = os.getpid()
+    jobs = []
+    for d in os.listdir("/proc"):
+        if not d.isdigit() or int(d) == me:
+            continue
+        try:
+            with open(f"/proc/{d}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "python" in cmd and _CHIP_JOB_RE.search(cmd):
+            jobs.append((int(d), cmd.strip()[:120]))
+    return jobs
+
+
+def _wait_chip_idle(max_wait_s=900):
+    """Block (bounded) until no known chip job is running, so the one
+    emitted JSON line is a steady-state capture, not a contention artifact.
+    Diagnostics go to stderr — stdout stays one JSON line."""
+    t0 = time.time()
+    while True:
+        jobs = _chip_jobs()
+        if not jobs:
+            return True
+        if time.time() - t0 > max_wait_s:
+            print(f"[bench] WARNING: chip still busy after {max_wait_s}s: "
+                  f"{jobs}", file=sys.stderr, flush=True)
+            return False
+        print(f"[bench] chip busy ({jobs[0][1]}...), waiting",
+              file=sys.stderr, flush=True)
+        time.sleep(15)
 
 # the reference's per-object protocol
 PROTOCOL_TRAIN_STEPS = 2500
@@ -67,6 +109,9 @@ def _scene(camera):
 
 
 def main():
+    if os.environ.get("PRV_BENCH_TINY") != "1":
+        _wait_chip_idle()
+
     import jax
     import jax.numpy as jnp
 
@@ -79,8 +124,20 @@ def main():
     from nerf_prv_tpu.nerf.train import build_hit_pool, make_optimizer, train_chunk
     from nerf_prv_tpu.pipeline import score_candidates_rgb_density
 
-    cfg = NerfConfig()  # voxel field production defaults
-    camera = CameraConfig()
+    global SCENE_DIR
+    tiny = os.environ.get("PRV_BENCH_TINY") == "1"
+    if tiny:
+        # control-flow smoke (CPU-runnable): validates the timing loops,
+        # contention guard and JSON emit — NOT a performance measurement
+        cfg = NerfConfig(
+            voxel_grid_size=32, voxel_features=4, hidden=32, n_samples=32,
+            render_probe_coarse=8, render_probe_fine=16, train_rays=256,
+        )
+        camera = scaled_camera(CameraConfig(), 8.0)
+        SCENE_DIR = SCENE_DIR + "_tiny"
+    else:
+        cfg = NerfConfig()  # voxel field production defaults
+        camera = CameraConfig()
 
     train_js, test_js = _scene(camera)
     ds = load_dataset(train_js, with_images=True)
@@ -103,7 +160,7 @@ def main():
     # the production trainer runs two phases (train.py): train_warmup_steps
     # of flat marching while geometry forms, then probe-tightened steps;
     # measure each phase's steady-state rate and combine per the protocol
-    steps_meas = 500
+    steps_meas = int(os.environ.get("PRV_BENCH_STEPS", "500"))
     warm_cfg = (
         dataclasses.replace(cfg, train_coarse=0, n_samples=cfg.train_warmup_samples)
         if cfg.train_coarse > 0 and cfg.train_warmup_steps > 0
@@ -119,22 +176,41 @@ def main():
     )
 
     def measure_chunk(phase_cfg, key_seed):
+        """Steady-state chunk time, contention-guarded (round-4 weak #1:
+        the official capture recorded warmup 12.7 ms/step vs 4.7 steady on
+        identical code).  One warm run pays the compile, then re-measure
+        until the two best attempts agree within 5% (min is the steady
+        state; a contended attempt only ever reads slower), up to 6 tries
+        with a backoff when an attempt looks contended."""
         nonlocal params, opt_state
         params, opt_state, losses = train_chunk(
             params, opt_state, jax.random.PRNGKey(key_seed), pixels_j, rot_j,
             org_j, camera, phase_cfg, steps_meas, None, pool, pool_n
         )
         sync(losses)  # warm: pays compile for this exact scan length
-        t0 = time.perf_counter()
-        params, opt_state, losses = train_chunk(
-            params, opt_state, jax.random.PRNGKey(key_seed + 1), pixels_j,
-            rot_j, org_j, camera, phase_cfg, steps_meas, None, pool, pool_n
-        )
-        sync(losses)
-        return time.perf_counter() - t0
+        times = []
+        for attempt in range(6):
+            t0 = time.perf_counter()
+            params, opt_state, losses = train_chunk(
+                params, opt_state, jax.random.PRNGKey(key_seed + 1 + attempt),
+                pixels_j, rot_j, org_j, camera, phase_cfg, steps_meas, None,
+                pool, pool_n
+            )
+            sync(losses)
+            times.append(time.perf_counter() - t0)
+            if len(times) >= 2:
+                best2 = sorted(times)[:2]
+                if best2[1] / best2[0] < 1.05:
+                    break
+            if times[-1] > 1.5 * min(times):
+                print(f"[bench] contended attempt {attempt}: "
+                      f"{times[-1]:.3f}s vs best {min(times):.3f}s, backing "
+                      f"off", file=sys.stderr, flush=True)
+                time.sleep(5)
+        return min(times)
 
     t_warm = measure_chunk(warm_cfg, 1)
-    t_tight = measure_chunk(cfg, 3) if warm_cfg is not cfg else t_warm
+    t_tight = measure_chunk(cfg, 30) if warm_cfg is not cfg else t_warm
     n_warm = min(cfg.train_warmup_steps, PROTOCOL_TRAIN_STEPS) if warm_cfg is not cfg else 0
     t_train = (
         n_warm * t_warm + (PROTOCOL_TRAIN_STEPS - n_warm) * t_tight
@@ -165,7 +241,7 @@ def main():
     # jitters 17.8-21.7 M rays/s on identical code.  8 groups ~ the
     # production eval's 12.5 (100 frames / 8), so the pipeline-fill cost
     # is amortized the way the real loop amortizes it.
-    n_groups = 8
+    n_groups = int(os.environ.get("PRV_BENCH_GROUPS", "8"))
 
     def render_pipelined():
         t0 = time.perf_counter()
@@ -233,7 +309,7 @@ def main():
         jnp.broadcast_to(pool[None], (k,) + pool.shape) if pool is not None else None
     )
     bpool_n = jnp.full((k,), pool_n, jnp.int32) if pool is not None else None
-    steps_b = 200
+    steps_b = int(os.environ.get("PRV_BENCH_BATCH_STEPS", "200"))
     kp, ks, bl = _train_chunk_batched(
         kp, ks, jax.random.PRNGKey(8), bpix, brot, borg, bnf, camera, cfg, steps_b,
         bpool, bpool_n
@@ -271,7 +347,16 @@ def main():
             "ssim": round(metrics["SSIM"], 4),
             "batched_objects": k,
             "batched_train_rays_per_sec": round(batched_train_rate, 1),
-            "batched_train_speedup": round(batched_train_rate / train_rate, 3),
+            # KNOWN-REGRESSION PROBE, not a headline: on ONE chip the
+            # vmapped K>1 grid gather/scatter lowers ~1.5x slower per
+            # object (exp_batched_train.py + PERF.md); the batched path
+            # exists for multi-chip dp meshes (one object per device),
+            # exercised end-to-end on the virtual 8-device mesh in
+            # tests/test_pipeline.py::test_mode4_batched_dp_mesh.  Tracked
+            # here only to detect lowering changes across jax releases.
+            "batched_train_single_chip_probe_speedup": round(
+                batched_train_rate / train_rate, 3
+            ),
             "field": cfg.field_impl,
             "device": str(jax.devices()[0]),
         },

@@ -60,6 +60,9 @@ def pick_objects(n):
 
 
 def main():
+    from predictor_gate import predictor_gate
+
+    predictor_gate()  # no rows with a degenerate predictor
     from nerf_prv_tpu.nerf import NerfConfig
     from nerf_prv_tpu.pipeline import modes
     from nerf_prv_tpu.pipeline.nbv import METHOD_NAMES

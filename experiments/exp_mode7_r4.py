@@ -65,6 +65,9 @@ class HDPredictor:
 
 
 def main():
+    from predictor_gate import predictor_gate
+
+    predictor_gate()  # no rows with a degenerate predictor
     from nerf_prv_tpu.nerf import NerfConfig
     from nerf_prv_tpu.pipeline.compare import (
         compare_objects, stat_budgets_from_labels, write_comparison_table,

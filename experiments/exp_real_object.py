@@ -75,16 +75,87 @@ def write_textured_torus(root: str, R: float = 0.35, r: float = 0.16,
     return path
 
 
+def write_textured_knot(root: str, scale: float = 0.16, r: float = 0.07,
+                        nu: int = 256, nv: int = 24) -> str:
+    """Trefoil-knot tube OBJ with UVs, MTL and texture: a SECOND real
+    textured mesh (VERDICT r4 next #9) with genuinely different geometry
+    stress — non-trivial knot topology, strong self-occlusion between
+    crossing strands, higher curvature variation than the torus."""
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    tex = np.zeros((256, 256, 3), np.uint8)
+    yy, xx = np.mgrid[0:256, 0:256]
+    tex[..., 0] = (127 + 120 * np.cos(6 * np.pi * xx / 256)).astype(np.uint8)
+    tex[..., 1] = ((xx // 16 + yy // 16) % 2) * 160 + 60
+    tex[..., 2] = (127 + 120 * np.sin(2 * np.pi * yy / 256 + 0.7)).astype(np.uint8)
+    Image.fromarray(tex).save(os.path.join(root, "tex.png"))
+    with open(os.path.join(root, "model.mtl"), "w") as f:
+        f.write("newmtl knot\nKd 1 1 1\nmap_Kd tex.png\n")
+
+    ref = np.array([0.13, 0.27, 0.95])
+    ref /= np.linalg.norm(ref)
+    verts, uvs, faces = [], [], []
+    for i in range(nu):
+        t = 2 * np.pi * i / nu
+        c = scale * np.array([
+            np.sin(t) + 2 * np.sin(2 * t),
+            np.cos(t) - 2 * np.cos(2 * t),
+            -np.sin(3 * t),
+        ])
+        tang = np.array([
+            np.cos(t) + 4 * np.cos(2 * t),
+            -np.sin(t) + 4 * np.sin(2 * t),
+            -3 * np.cos(3 * t),
+        ])
+        tang /= np.linalg.norm(tang)
+        n0 = np.cross(tang, ref)
+        n0 /= np.linalg.norm(n0)
+        b0 = np.cross(tang, n0)
+        for j in range(nv):
+            v = 2 * np.pi * j / nv
+            pxyz = c + r * (np.cos(v) * n0 + np.sin(v) * b0)
+            verts.append(tuple(pxyz))
+            uvs.append((i / nu, j / nv))
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            cc = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces.append((a, b, cc))
+            faces.append((a, cc, d))
+    path = os.path.join(root, "model.obj")
+    with open(path, "w") as f:
+        f.write("mtllib model.mtl\n")
+        for x, y, z in verts:
+            f.write(f"v {x:.6f} {y:.6f} {z:.6f}\n")
+        for u, v in uvs:
+            f.write(f"vt {u:.6f} {v:.6f}\n")
+        f.write("usemtl knot\n")
+        for a, b, c in faces:
+            f.write(f"f {a+1}/{a+1} {b+1}/{b+1} {c+1}/{c+1}\n")
+    return path
+
+
 def main():
+    import argparse
+
     from nerf_prv_tpu.core.config import Config
     from nerf_prv_tpu.labeling.labels import fit_object_from_metrics
     from nerf_prv_tpu.pipeline import modes
     from nerf_prv_tpu.scene.mesh_sampling import sample_and_voxelize
 
-    root = "/tmp/real_obj_ws"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--object", default="torus", choices=["torus", "knot"])
+    args = ap.parse_args()
+    kind = args.object
+    name = f"{kind}0"
+    root = "/tmp/real_obj_ws" if kind == "torus" else f"/tmp/real_obj_{kind}_ws"
     os.makedirs(root, exist_ok=True)
-    obj = write_textured_torus(os.path.join(root, "mesh"))
-    ply = os.path.join(root, "models", "ShapeNet", "torus0.ply")
+    gen = write_textured_torus if kind == "torus" else write_textured_knot
+    obj = gen(os.path.join(root, "mesh"))
+    ply = os.path.join(root, "models", "ShapeNet", f"{name}.ply")
     if not os.path.exists(ply):
         t0 = time.perf_counter()
         ok = sample_and_voxelize(obj, ply, n_points=300_000, grid_resolution=512,
@@ -97,7 +168,7 @@ def main():
         workspace=os.path.join(root, "ws"),
         model_path=os.path.join(root, "models"),
         viewspace_path=os.path.join(root, "ws", "viewspace"),
-        name_of_pcd="torus0",
+        name_of_pcd=name,
         coverage_view_num_max=50,
         coverage_view_num_add=2,
         n_steps=2500,
@@ -107,11 +178,11 @@ def main():
     print(f"mode0 viewspaces {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    modes.mode_get_coverage(cfg, ["torus0"])
+    modes.mode_get_coverage(cfg, [name])
     print(f"mode3 coverage {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    modes.mode_instant_ngp(cfg, ["torus0"])
+    modes.mode_instant_ngp(cfg, [name])
     print(f"mode4 sweep ({len(counts)} counts + 100) {time.perf_counter()-t0:.1f}s",
           flush=True)
 
@@ -145,8 +216,9 @@ def main():
         "curve_monotone": monotone,
         "curve_diminishing_returns": diminishing,
     }
+    suffix = "" if kind == "torus" else f"_{kind}"
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "artifacts", "real_object_calibration.json")
+                       "artifacts", f"real_object_calibration{suffix}.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)

@@ -154,6 +154,12 @@ class NerfConfig:
     n_steps: int = 2500
     lr: float = 1e-2
     weight_decay: float = 1e-6
+    # Adam moment storage dtype: "float32" (optax) or "bfloat16" (custom
+    # transform, train._scale_by_adam_lowp — compute fp32, store bf16).
+    # The update is HBM-bound (~6 passes over params+moments, ~0.44 ms of
+    # the 2.0 ms step, artifacts/step_residue.json); bf16 moments cut the
+    # moment traffic 2x (24 -> 16 bytes/param/step)
+    adam_moment_dtype: str = "float32"
     huber_delta: float = 0.1
     compute_dtype: Any = jnp.bfloat16
     # encode implementation: "auto" (xla on cpu, sorted on tpu), "xla"
@@ -196,6 +202,11 @@ class NerfConfig:
         if self.train_scan_unroll < 1:
             raise ValueError(
                 f"train_scan_unroll must be >= 1; got {self.train_scan_unroll}"
+            )
+        if self.adam_moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"adam_moment_dtype must be 'float32' or 'bfloat16'; "
+                f"got {self.adam_moment_dtype!r}"
             )
 
 

@@ -23,13 +23,69 @@ from .rays import RayDataset, rays_from_pixels
 from .render import render_rays
 
 
+def _scale_by_adam_lowp(
+    b1: float, b2: float, eps: float, moment_dtype
+) -> optax.GradientTransformation:
+    """Adam with both moments STORED in ``moment_dtype`` (bf16), computed
+    in fp32.  The Adam update is HBM-bound — ~6 passes over params+moments
+    per step (artifacts/step_residue.json: 0.436 ms direct of the 2.0 ms
+    tight step) — so halving the moment bytes removes ~1/3 of that
+    traffic; the casts fuse into the same elementwise kernels (no extra
+    passes).  bf16's 8-bit mantissa puts ~0.4% relative error on the
+    moments, ~0.2% on the sqrt(nu) denominator — far below the gradient
+    noise the 6-seed quality gate resolves."""
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(jnp.shape(p), moment_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+        mu32 = jax.tree.map(
+            lambda m, g: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            state.mu, updates,
+        )
+        nu32 = jax.tree.map(
+            lambda v, g: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu, updates,
+        )
+        out = jax.tree.map(
+            lambda m, v, g: ((m / bc1) / (jnp.sqrt(v / bc2) + eps)).astype(
+                g.dtype
+            ),
+            mu32, nu32, updates,
+        )
+        new_state = optax.ScaleByAdamState(
+            count=count,
+            mu=jax.tree.map(lambda m: m.astype(moment_dtype), mu32),
+            nu=jax.tree.map(lambda v: v.astype(moment_dtype), nu32),
+        )
+        return out, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(cfg: NerfConfig) -> optax.GradientTransformation:
     def wd_mask(params):
         return {k: k not in ("table", "grid") for k in params}
 
+    if cfg.adam_moment_dtype == "bfloat16":
+        adam = _scale_by_adam_lowp(0.9, 0.99, 1e-15, jnp.bfloat16)
+    else:
+        adam = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+        adam,
         optax.scale(-cfg.lr),
     )
 
