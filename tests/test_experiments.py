@@ -111,3 +111,36 @@ def test_consumed_dropped_object_never_returns_to_train(select_roster):
     # n_test already met by survivors+a? prev_test fully usable -> both pin
     assert set(test) == {"a", "b"}
     assert "a" not in ever and "b" not in ever
+
+
+def test_predictor_gate(tmp_path, monkeypatch):
+    """mode-7/21 rows pin budgets forever; the gate must block a flat
+    predictor (corr ~0 / degenerate span) and admit a healthy one."""
+    import json
+
+    import predictor_gate as pg
+
+    monkeypatch.setattr(pg, "ART", str(tmp_path))
+    monkeypatch.delenv("PRV4_SKIP_PREDICTOR_GATE", raising=False)
+
+    # missing artifact -> block
+    with pytest.raises(SystemExit, match="missing"):
+        pg.predictor_gate("prvnet_tiny720.json")
+
+    art = tmp_path / "prvnet_tiny720.json"
+    # flat predictor (the r4 partial: corr -0.03, span 0.1) -> block
+    art.write_text(json.dumps(
+        {"val_pred_gt_corr": -0.03, "val_pred_min_max": [27.5, 27.6]}))
+    with pytest.raises(SystemExit, match="degenerate"):
+        pg.predictor_gate("prvnet_tiny720.json")
+
+    # healthy predictor (r3-atto-like: corr 0.73, span 19) -> pass
+    art.write_text(json.dumps(
+        {"val_pred_gt_corr": 0.73, "val_pred_min_max": [23.0, 42.1]}))
+    assert pg.predictor_gate("prvnet_tiny720.json")["val_pred_gt_corr"] == 0.73
+
+    # override escape hatch
+    art.write_text(json.dumps(
+        {"val_pred_gt_corr": 0.0, "val_pred_min_max": [30, 30]}))
+    monkeypatch.setenv("PRV4_SKIP_PREDICTOR_GATE", "1")
+    assert pg.predictor_gate("prvnet_tiny720.json") == {}
