@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""One-screen status of every round-4 deliverable (artifacts + queue logs).
+"""One-screen status of every round-4/5 deliverable (artifacts + queue logs).
 
 Run anytime:  python experiments/r4_status.py
 """
@@ -56,6 +56,18 @@ def main():
               f"deltas: { {k: v['dPSNR_mean'] for k, v in m7['deltas'].items()} }")
     else:
         print("mode7: not run")
+    al = _j("adam_lowp.json")
+    if al:
+        print(f"adam_lowp: {al.get('decision', 'running')[:100]}")
+    else:
+        print("adam_lowp: not run")
+    rk = _j("real_object_calibration_knot.json")
+    if rk:
+        print(f"knot calibration: converged={rk['converged']} "
+              f"label={rk['gradient_label_0.02']} "
+              f"in_window={rk['label_in_clip_window']}")
+    else:
+        print("knot calibration: not run")
     m21 = _j("mode21_r4.json")
     if m21:
         done = len(m21.get("rows", {}))
@@ -71,7 +83,8 @@ def main():
           f"({n_cov} objects with coverage images at {cov})")
     for log in ("dataset300", "dataset300_ext", "tiny720_train",
                 "atto_scaling", "mode7_r4", "mode21_r4", "label_topup",
-                "r4_queue", "r4s2_queue", "r4s2b_queue"):
+                "r4_queue", "r4s2_queue", "r4s2b_queue",
+                "r5_queue", "r5b_queue", "adam_lowp", "exp_real_knot"):
         p = f"/tmp/{log}.log"
         if os.path.exists(p):
             with open(p, "rb") as f:
