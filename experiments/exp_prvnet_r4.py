@@ -86,10 +86,22 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
     mesh = make_mesh()
 
     pre_dir = os.path.join(ART, f"{tag}_pretrain_ckpt")
+    # The pretrain stage substitutes for the reference's pretrained
+    # encoder (ImageNet/FCMAE weights are unavailable in the zero-egress
+    # env).  At 1/100th the reference's sample count, the reference's
+    # FINE-TUNING lr (blr 1.5e-4 -> 3.75e-5) only drifts: measured this
+    # round, from-scratch tiny@720 moved train loss 5.51->5.16 in 700
+    # steps (~constant-predictor level).  So pretrain runs hotter with
+    # the warmup+cosine schedule the reference defines (dormant,
+    # train_regression.py:446-449); the REGRESSION stage keeps the
+    # reference's exact constant-lr config.
     pre_cfg = TrainConfig(
         arch=arch, batch_size=pretrain_batch or batch_size,
         accum_steps=pretrain_accum or accum_steps,
         epochs=pretrain_epochs, image_size=crop,
+        blr=float(os.environ.get("PRV4_PRETRAIN_BLR", "1.5e-3")),
+        use_schedule=os.environ.get("PRV4_PRETRAIN_SCHEDULE", "1") == "1",
+        warmup_epochs=max(pretrain_epochs // 20, 2),
     )
     t0 = time.perf_counter()
     _, pre_best = pretrain(ds_root, train_split, val_split, cfg=pre_cfg,

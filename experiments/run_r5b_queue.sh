@@ -84,8 +84,9 @@ run bash $W 600 $WS /tmp/mode7_r4.log -- \
 # 7a: fresh atto scaling point on the expanded corpus
 gate atto-scaling
 run bash $W 900 $ART /tmp/atto_scaling.log -- \
-  env PRV4_ATTO_TAG=prvnet_r5 python -u experiments/exp_prvnet_r4.py \
-  --phase atto --epochs 200
+  env PRV4_ATTO_TAG=prvnet_r5 PRV4_PRETRAIN_BLR=1.5e-4 \
+  PRV4_PRETRAIN_SCHEDULE=0 python -u experiments/exp_prvnet_r4.py \
+  --phase atto --epochs 200  # r3-recipe pretrain: scaling-curve purity
 
 # 7b: second real textured mesh through the calibration path
 if [ ! -f $ART/real_object_calibration_knot.json ]; then
