@@ -72,7 +72,9 @@ def main():
     cfg0 = cfg0.replace(num_of_views=64, num_of_max_iteration=60,
                         evaluate=True)
     nerf_cfg = NerfConfig(n_steps=cfg0.n_steps)
-    predictor = HDPredictor(BudgetPredictor(CKPT, arch=ARCH, crop=CROP))
+    predictor = BudgetPredictor(CKPT, arch=ARCH, crop=CROP)
+    if CROP >= 720:  # 180-crop predictors trained on qcam images
+        predictor = HDPredictor(predictor)
     objects = pick_objects(N_OBJECTS)
     print(f"objects: {objects}", flush=True)
 

@@ -87,8 +87,9 @@ def main():
 
     cfg = pipeline_config()
     nerf_cfg = NerfConfig(n_steps=cfg.n_steps)
-    predictor = HDPredictor(
-        BudgetPredictor(CKPT, arch=ARCH, crop=CROP))
+    predictor = BudgetPredictor(CKPT, arch=ARCH, crop=CROP)
+    if CROP >= 720:  # 180-crop predictors trained on qcam images
+        predictor = HDPredictor(predictor)
 
     art_path = os.path.join(ART, "mode7_r4.json")
     rows = {}

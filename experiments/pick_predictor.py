@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Pick the best available budget predictor for mode-7/21 and print shell
+exports, so the flagship tables always run with the strongest
+leakage-safe checkpoint available at that point in the queue:
+
+    eval "$(python experiments/pick_predictor.py)" && \
+        python experiments/exp_mode7_r4.py
+
+Candidates (artifact, ckpt, arch, crop), scored by val pred-gt corr with
+the predictor_gate floors (corr >= 0.3, span >= 5) as the bar:
+  - prvnet_tiny720.json     — the reference config (tiny@720)
+  - prvnet_r5_scaling.json  — fresh-corpus atto@180
+  - prvnet_r3.json          — round-3 atto@180 (corr 0.7265; trained only
+    on legacy objects, so the r4+ test roster is untouched — leakage-safe)
+
+Exits 1 (printing a shell 'false') when none qualify.
+"""
+import json
+import os
+
+ART = os.environ.get(
+    "PRV4_ART",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
+
+CANDIDATES = [
+    ("prvnet_tiny720.json", "prvnet_tiny720_ckpt/best_checkpoint.msgpack",
+     "convnextv2_tiny", 720),
+    ("prvnet_r5_scaling.json", "prvnet_r5_ckpt/best_checkpoint.msgpack",
+     "convnextv2_atto", 180),
+    ("prvnet_r3.json", "prvnet_r3_ckpt/best_checkpoint.msgpack",
+     "convnextv2_atto", 180),
+]
+
+
+def score(artifact):
+    path = os.path.join(ART, artifact)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        a = json.load(f)
+    corr = float(a.get("val_pred_gt_corr", 0.0))
+    lo, hi = a.get("val_pred_min_max", [0.0, 0.0])
+    if corr < 0.3 or float(hi) - float(lo) < 5.0:
+        return None
+    return corr
+
+
+def main():
+    best = None
+    for artifact, ckpt, arch, crop in CANDIDATES:
+        ckpt_path = os.path.join(ART, ckpt)
+        s = score(artifact)
+        if s is not None and os.path.exists(ckpt_path):
+            if best is None or s > best[0]:
+                best = (s, artifact, ckpt_path, arch, crop)
+    if best is None:
+        print("echo 'pick_predictor: no qualifying predictor' >&2; false")
+        raise SystemExit(1)
+    s, artifact, ckpt_path, arch, crop = best
+    print(f"export PRV4_CKPT={ckpt_path}")
+    print(f"export PRV4_ARCH={arch}")
+    print(f"export PRV4_CROP={crop}")
+    print(f"export PRV4_GATE_ARTIFACT={artifact}")
+    print(f"echo '[pick] {artifact} corr {s:.3f} ({arch}@{crop})' >&2")
+
+
+if __name__ == "__main__":
+    main()

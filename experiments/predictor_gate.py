@@ -15,7 +15,7 @@ ART = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts"))
 
 
-def predictor_gate(artifact: str = "prvnet_tiny720.json",
+def predictor_gate(artifact: str = None,
                    min_corr: float = 0.3, min_span: float = 5.0) -> dict:
     """Exit unless the predictor's val metrics clear the floor.
 
@@ -23,6 +23,8 @@ def predictor_gate(artifact: str = "prvnet_tiny720.json",
     min_span: minimum (pred_max - pred_min) in views — the VERDICT "pred
     range spanning >=10 views" criterion, relaxed to 5 as the hard floor.
     Returns the artifact dict on success so callers can log it."""
+    if artifact is None:
+        artifact = os.environ.get("PRV4_GATE_ARTIFACT", "prvnet_tiny720.json")
     if os.environ.get("PRV4_SKIP_PREDICTOR_GATE") == "1":
         return {}
     path = os.path.join(ART, artifact)

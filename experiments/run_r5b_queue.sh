@@ -1,20 +1,19 @@
 #!/bin/bash
-# Round-5 SECOND queue — the first r5 queue was stopped deliberately after
-# diagnosing why tiny720 never converged (1 optimizer step/epoch through
-# the tunnel-bound streaming loader; see prvnet/train.py device_data).
-# This queue re-runs the program with the device-resident trainer and the
-# reference's actual 800-epoch protocol, highest value first:
+# Round-5 SECOND queue — relaunched after diagnosing the tiny720 flatline
+# (1 optimizer step/epoch through the tunnel-bound streaming loader; see
+# prvnet/train.py device_data + HANDOFF.md).  Order = value density:
 #
 #   rm -f /tmp/stop_queue /tmp/stop_watchdog
 #   nohup bash experiments/run_r5b_queue.sh > /tmp/r5b_queue.log 2>&1 &
 #
-#   1. exp_adam_lowp         (quick; a clean gate raises the official bench)
-#   2. tiny720 two-stage     (FRESH ckpt dirs; pretrain 100 + regression 800)
-#   3. mode-7 table          (predictor-gated: no rows from a flat ckpt)
-#   4. mode-21 table         (predictor-gated)
+#   1. exp_adam_lowp         (done: bf16+u8 = 1.76 ms but fails quality gate)
+#   2. tiny720 two-stage     (resident trainer; pretrain 100 + regression 800)
+#   2b. fresh atto@180       (scaling point AND fallback predictor)
+#   3. mode-7 table          (best qualifying predictor via pick_predictor)
+#   4. mode-21 table         (same predictor)
 #   5. +2 h labels -> roster growth
 #   6. mode-7 over the grown roster
-#   7. atto + knot calibration
+#   7. knot calibration
 #   8. open-ended labels until stopped
 #
 # Stop: touch /tmp/stop_queue (+ /tmp/stop_watchdog for the active job).
@@ -50,24 +49,47 @@ if [ ! -f $ART/adam_lowp.json ] || ! grep -q '"decision"' $ART/adam_lowp.json; t
     python -u experiments/exp_adam_lowp.py
 fi
 
-# 2: the reference-config PRVNet, fresh dirs (the r4 partials were moved
-# aside by the builder; auto-resume continues THIS run on watchdog restart)
+# 2: the reference-config PRVNet (fresh dirs; auto-resume on restart)
 if [ ! -f $ART/prvnet_tiny720.json ]; then
   gate prvnet-tiny720
   run bash $W 900 $ART /tmp/tiny720_train.log -- \
     python -u experiments/exp_prvnet_r4.py --phase tiny
 fi
 
-# 3: mode-7 rows (exp_mode7_r4 exits via predictor_gate if the ckpt is
-# degenerate — rows pin budgets forever, so no rows beats noise rows)
-gate mode7
-run bash $W 600 $WS /tmp/mode7_r4.log -- \
-  env PRV4_MODE7_DEADLINE_MIN=40 python -u experiments/exp_mode7_r4.py
+# 2b: fresh atto@180 on the current corpus — the dataset-scaling point AND
+# the fallback predictor for the tables (r3 recipe: scaling-curve purity)
+if [ ! -f $ART/prvnet_r5_scaling.json ]; then
+  gate atto-scaling
+  run bash $W 900 $ART /tmp/atto_scaling.log -- \
+    env PRV4_ATTO_TAG=prvnet_r5 PRV4_PRETRAIN_BLR=1.5e-4 \
+    PRV4_PRETRAIN_SCHEDULE=0 python -u experiments/exp_prvnet_r4.py \
+    --phase atto --epochs 200
+fi
 
-# 4: mode-21 five-method table (same gate)
+# 3: mode-7 rows with the best qualifying predictor (pick_predictor exits
+# nonzero if none clears the corr/span floor — rows pin budgets forever,
+# so no rows beats noise rows)
+gate mode7
+if eval "$(python experiments/pick_predictor.py)"; then
+  run bash $W 600 $WS /tmp/mode7_r4.log -- \
+    env PRV4_MODE7_DEADLINE_MIN=40 PRV4_CKPT=$PRV4_CKPT \
+    PRV4_ARCH=$PRV4_ARCH PRV4_CROP=$PRV4_CROP \
+    PRV4_GATE_ARTIFACT=$PRV4_GATE_ARTIFACT \
+    python -u experiments/exp_mode7_r4.py
+else
+  say "mode7 SKIPPED: no qualifying predictor"
+fi
+
+# 4: mode-21 five-method table (same predictor)
 gate mode21
-run bash $W 600 $WS /tmp/mode21_r4.log -- \
-  python -u experiments/exp_mode21_r4.py
+if eval "$(python experiments/pick_predictor.py)"; then
+  run bash $W 600 $WS /tmp/mode21_r4.log -- \
+    env PRV4_CKPT=$PRV4_CKPT PRV4_ARCH=$PRV4_ARCH PRV4_CROP=$PRV4_CROP \
+    PRV4_GATE_ARTIFACT=$PRV4_GATE_ARTIFACT \
+    python -u experiments/exp_mode21_r4.py
+else
+  say "mode21 SKIPPED: no qualifying predictor"
+fi
 
 # 5: +2 h of labels -> phase B grows the roster with never-trained objects
 gate label-growth
@@ -78,17 +100,15 @@ run bash $W 600 $WS /tmp/label_topup.log -- \
 
 # 6: mode-7 again over the grown roster
 gate mode7-grown
-run bash $W 600 $WS /tmp/mode7_r4.log -- \
-  env PRV4_MODE7_DEADLINE_MIN=120 python -u experiments/exp_mode7_r4.py
+if eval "$(python experiments/pick_predictor.py)"; then
+  run bash $W 600 $WS /tmp/mode7_r4.log -- \
+    env PRV4_MODE7_DEADLINE_MIN=120 PRV4_CKPT=$PRV4_CKPT \
+    PRV4_ARCH=$PRV4_ARCH PRV4_CROP=$PRV4_CROP \
+    PRV4_GATE_ARTIFACT=$PRV4_GATE_ARTIFACT \
+    python -u experiments/exp_mode7_r4.py
+fi
 
-# 7a: fresh atto scaling point on the expanded corpus
-gate atto-scaling
-run bash $W 900 $ART /tmp/atto_scaling.log -- \
-  env PRV4_ATTO_TAG=prvnet_r5 PRV4_PRETRAIN_BLR=1.5e-4 \
-  PRV4_PRETRAIN_SCHEDULE=0 python -u experiments/exp_prvnet_r4.py \
-  --phase atto --epochs 200  # r3-recipe pretrain: scaling-curve purity
-
-# 7b: second real textured mesh through the calibration path
+# 7: second real textured mesh through the calibration path
 if [ ! -f $ART/real_object_calibration_knot.json ]; then
   gate real-object-knot
   run bash $W 600 $ART /tmp/exp_real_knot.log -- \
