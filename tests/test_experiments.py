@@ -144,3 +144,52 @@ def test_predictor_gate(tmp_path, monkeypatch):
         {"val_pred_gt_corr": 0.0, "val_pred_min_max": [30, 30]}))
     monkeypatch.setenv("PRV4_SKIP_PREDICTOR_GATE", "1")
     assert pg.predictor_gate("prvnet_tiny720.json") == {}
+
+
+def test_pick_predictor_selection(tmp_path, monkeypatch):
+    """Best-qualifying-predictor selection: prefers the highest val corr
+    among artifacts that clear the gate floors AND have a checkpoint on
+    disk; emits shell exports; fails loudly when none qualify."""
+    import json
+    import subprocess
+    import sys
+
+    art = tmp_path
+    def write(name, corr, span, ckpt_rel):
+        (art / name).write_text(json.dumps(
+            {"val_pred_gt_corr": corr, "val_pred_min_max": [20, 20 + span]}))
+        p = art / ckpt_rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"x")
+
+    env = {**os.environ, "PRV4_ART": str(art)}
+    script = os.path.join(os.path.dirname(__file__), "..", "experiments",
+                          "pick_predictor.py")
+
+    # nothing qualifies -> exit 1
+    r = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                       text=True)
+    assert r.returncode == 1
+
+    # only r3 atto qualifies
+    write("prvnet_r3.json", 0.73, 19, "prvnet_r3_ckpt/best_checkpoint.msgpack")
+    r = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                       text=True)
+    assert r.returncode == 0
+    assert "PRV4_ARCH=convnextv2_atto" in r.stdout
+    assert "PRV4_GATE_ARTIFACT=prvnet_r3.json" in r.stdout
+
+    # a better tiny720 takes over
+    write("prvnet_tiny720.json", 0.8, 15,
+          "prvnet_tiny720_ckpt/best_checkpoint.msgpack")
+    r = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                       text=True)
+    assert "PRV4_ARCH=convnextv2_tiny" in r.stdout
+    assert "PRV4_CROP=720" in r.stdout
+
+    # a degenerate tiny720 (high corr, no span) would NOT take over
+    write("prvnet_tiny720.json", 0.9, 1,
+          "prvnet_tiny720_ckpt/best_checkpoint.msgpack")
+    r = subprocess.run([sys.executable, script], env=env, capture_output=True,
+                       text=True)
+    assert "PRV4_ARCH=convnextv2_atto" in r.stdout
