@@ -109,9 +109,16 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
                            viewspace_size=viewspace_size)
     t_pre = time.perf_counter() - t0
 
+    # regression defaults = the reference's exact config (constant
+    # blr 1.5e-4, no schedule); the env knobs exist so a TUNED arm can
+    # run under a different tag without code edits, clearly labeled in
+    # its artifact
     tcfg = TrainConfig(arch=arch, batch_size=batch_size,
                        accum_steps=accum_steps, epochs=epochs,
-                       image_size=crop)
+                       image_size=crop,
+                       blr=float(os.environ.get("PRV4_REG_BLR", "1.5e-4")),
+                       use_schedule=os.environ.get(
+                           "PRV4_REG_SCHEDULE", "0") == "1")
     ckpt_dir = os.path.join(ART, f"{tag}_ckpt")
     t0 = time.perf_counter()
     _, best = train_regression(
@@ -132,6 +139,10 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
         "viewspace_size": viewspace_size,
         "batch_size": batch_size,
         "accum_steps": accum_steps,
+        "blr": tcfg.blr,
+        "use_schedule": tcfg.use_schedule,
+        "pretrain_blr": pre_cfg.blr,
+        "pretrain_schedule": pre_cfg.use_schedule,
         "n_train": n_train,
         "n_val": n_val,
         "pretrain_epochs": pretrain_epochs,
