@@ -162,7 +162,7 @@ def run_two_stage(arch, crop, ds_root, tag, batch_size, accum_steps,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", required=True, choices=["tiny", "atto"])
+    ap.add_argument("--phase", required=True, choices=["tiny", "tiny180", "atto"])
     ap.add_argument("--epochs", type=int, default=None)
     args = ap.parse_args()
     ws = os.path.join(ROOT, "ws")
@@ -192,6 +192,25 @@ def main():
             viewspace_size=HD_VIEWS,
         )
         out = os.path.join(ART, f"{tiny_tag}.json")
+    elif args.phase == "tiny180":
+        # the reference ARCHITECTURE at the r3-PROVEN input geometry:
+        # convnextv2_tiny on the qcam 320x180 dataset (CenterCrop 180).
+        # Motivation: exp_pool_collapse.py — at 720 the global mean pool
+        # averages 529 patch vectors and the per-object signal dilutes
+        # below what 90-sample training escapes; at 180 (36 positions)
+        # the same encoder family demonstrably discriminates (r3 atto
+        # corr 0.73).  Regression keeps the reference's exact optimizer
+        # config (constant blr 1.5e-4, batch 64).
+        tag = os.environ.get("PRV4_TINY180_TAG", "prvnet_tiny180")
+        art = run_two_stage(
+            arch="convnextv2_tiny", crop=180,
+            ds_root=os.path.join(ws, "pvb_dataset"), tag=tag,
+            batch_size=64, accum_steps=1, pretrain_batch=64,
+            pretrain_epochs=int(os.environ.get(
+                "PRV4_TINY180_PRETRAIN_EPOCHS", "50")),
+            epochs=args.epochs or 800,
+        )
+        out = os.path.join(ART, f"{tag}.json")
     else:
         # PRV4_ATTO_TAG lets the end-of-queue corpus extension train a FRESH
         # scaling point (new ckpt dir + artifact) instead of resuming the

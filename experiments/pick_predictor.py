@@ -25,9 +25,8 @@ ART = os.environ.get(
 CANDIDATES = [
     ("prvnet_tiny720.json", "prvnet_tiny720_ckpt/best_checkpoint.msgpack",
      "convnextv2_tiny", 720),
-    ("prvnet_tiny720_tuned.json",
-     "prvnet_tiny720_tuned_ckpt/best_checkpoint.msgpack",
-     "convnextv2_tiny", 720),
+    ("prvnet_tiny180.json", "prvnet_tiny180_ckpt/best_checkpoint.msgpack",
+     "convnextv2_tiny", 180),
     ("prvnet_r5_scaling.json", "prvnet_r5_ckpt/best_checkpoint.msgpack",
      "convnextv2_atto", 180),
     ("prvnet_r3.json", "prvnet_r3_ckpt/best_checkpoint.msgpack",

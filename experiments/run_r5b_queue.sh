@@ -66,16 +66,15 @@ if [ ! -f $ART/prvnet_r5_scaling.json ]; then
     --phase atto --epochs 200
 fi
 
-# 2c: TUNED tiny arm — ONLY when the reference-exact run ended degenerate
-# (gate fails on its artifact): same architecture/resolution/batch, hotter
-# scheduled lr, separate tag + artifact so the reference-exact record
-# stays untouched.  Runs BEFORE the tables so their rows never mix
-# predictors mid-table.
-if [ -f $ART/prvnet_tiny720.json ] && [ ! -f $ART/prvnet_tiny720_tuned.json ]; then
-  if ! env PRV4_GATE_ARTIFACT=prvnet_tiny720.json python -c       "import sys; sys.path.insert(0,'experiments'); from predictor_gate import predictor_gate as g; g()"       >/dev/null 2>&1; then
-    gate tiny720-tuned
-    run bash $W 900 $ART /tmp/tiny720_tuned.log --       env PRV4_TINY_TAG=prvnet_tiny720_tuned PRV4_REG_BLR=1.5e-3       PRV4_REG_SCHEDULE=1 python -u experiments/exp_prvnet_r4.py --phase tiny
-  fi
+# 2c: the reference ARCHITECTURE at the r3-proven input geometry —
+# tiny@180 on the qcam dataset (see exp_pool_collapse.py: at 720 the
+# global mean pool dilutes per-object signal below what 90-sample
+# training escapes; at 180 the encoder family demonstrably
+# discriminates).  Runs BEFORE the tables so rows never mix predictors.
+if [ ! -f $ART/prvnet_tiny180.json ]; then
+  gate tiny180
+  run bash $W 900 $ART /tmp/tiny180_train.log -- \
+    python -u experiments/exp_prvnet_r4.py --phase tiny180
 fi
 
 # 3: mode-7 rows with the best qualifying predictor (pick_predictor exits
