@@ -48,12 +48,16 @@ def score(artifact):
 
 
 def main():
+    # candidates are in PRIORITY order (reference config first); a
+    # lower-priority candidate takes over only when it beats the current
+    # pick by >0.05 corr — a statistically-tied atto must not displace
+    # the reference-config tiny from the flagship tables
     best = None
     for artifact, ckpt, arch, crop in CANDIDATES:
         ckpt_path = os.path.join(ART, ckpt)
         s = score(artifact)
         if s is not None and os.path.exists(ckpt_path):
-            if best is None or s > best[0]:
+            if best is None or s > best[0] + 0.05:
                 best = (s, artifact, ckpt_path, arch, crop)
     if best is None:
         print("echo 'pick_predictor: no qualifying predictor' >&2; false")
