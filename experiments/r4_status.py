@@ -43,13 +43,17 @@ def main():
               f"({t['train_seconds']:.0f}s train, {t['n_train']} objects)")
     else:
         print("tiny720: not trained")
-    a = _j("prvnet_scaling.json")
+    a = _j("prvnet_r5_scaling.json") or _j("prvnet_scaling.json")
     if a:
         print(f"atto scaling: val L1 {a['best_val_l1_mean']} "
               f"corr {a.get('val_pred_gt_corr')} (n_train {a['n_train']}; "
               f"r3 was L1 2.927 corr 0.7265 @ 86)")
     else:
         print("atto scaling: not trained")
+    t180 = _j("prvnet_tiny180.json")
+    if t180:
+        print(f"tiny180: val L1 {t180['best_val_l1_mean']} "
+              f"corr {t180.get('val_pred_gt_corr')} (n_train {t180['n_train']})")
     m7 = _j("mode7_r4.json")
     if m7:
         print(f"mode7: {m7['n_done']}/{m7['n_roster']} objects; "

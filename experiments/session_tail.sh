@@ -25,7 +25,7 @@ chip_busy() {
     p=${d#/proc/}
     [ "$p" = "$$" ] && continue
     if tr '\0' ' ' < "$d/cmdline" 2>/dev/null | \
-        grep -qE "exp_dataset300|exp_prvnet_r4|exp_mode7_r4|exp_mode21_r4"; then
+        grep -qE "exp_dataset300|exp_prvnet_r4|exp_mode7_r4|exp_mode21_r4|exp_real_object"; then
       return 0
     fi
   done
