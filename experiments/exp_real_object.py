@@ -171,6 +171,13 @@ def main():
     step = int(os.environ.get("PRV_REAL_STEP", "2"))
     cmax = int(os.environ.get("PRV_REAL_MAX", "50"))
     counts = list(range(3, cmax + 1, step))
+    # PRV_REAL_COUNTS pins the FIT list exactly (comma list) — the CPU
+    # finisher path: with PRV_REAL_MAX=2 the mode-0/3/4 grid collapses to
+    # the (already-trained) 100 anchor and the lognormal fit runs over
+    # whatever per-count metrics a killed chip sweep left on disk
+    env_counts = os.environ.get("PRV_REAL_COUNTS", "")
+    if env_counts:
+        counts = sorted({int(c) for c in env_counts.split(",")})
     cfg = Config(
         workspace=os.path.join(root, "ws"),
         model_path=os.path.join(root, "models"),
